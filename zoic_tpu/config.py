@@ -1,0 +1,124 @@
+"""Camera configuration schema.
+
+TPU-native equivalent of the reference's three config layers (see SURVEY.md §5
+"Config / flag system"): the Arnold node parameters + ``.mtd`` UI metadata
+(reference: src/zoic.cpp:1547-1562 declares the 14 parameters and defaults,
+src/zoic.mtd:17-155 holds validation ranges) collapse into a single frozen
+dataclass with validation.  Compile-time feature flags of the reference
+(``_DRAW``/``_DEBUGIMAGESAMPLING``, zoic.cpp:31-57) become runtime options on
+:class:`DebugOptions`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional, Tuple
+
+
+class LensModel(enum.Enum):
+    """Lens model selector (reference: zoic.cpp:84-97 ``enum LensModel``)."""
+
+    THINLENS = 0
+    RAYTRACED = 1
+
+
+# Validation ranges lifted from the reference UI metadata (src/zoic.mtd).
+# (min, max) — hard bounds; the soft ranges are UI-only and not enforced.
+_RANGES = {
+    "sensor_width": (0.1, 10.0),        # zoic.mtd [attr sensorWidth]
+    "sensor_height": (0.1, 10.0),       # zoic.mtd [attr sensorHeight]
+    "focal_length": (0.1, 100.0),       # zoic.mtd [attr focalLength]
+    "fstop": (0.01, 100.0),             # zoic.mtd [attr fStop]
+    "focal_distance": (0.0, float("inf")),
+    "optical_vignetting_distance": (0.0, float("inf")),
+    "optical_vignetting_radius": (0.0, float("inf")),
+    "exposure_control": (-float("inf"), float("inf")),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class DebugOptions:
+    """Runtime replacements for the reference's compile-time debug flags.
+
+    ``draw`` mirrors ``_DRAW`` (zoic.cpp:53-57): when enabled, the ray
+    generators additionally return a "ray tape" for a strided sub-batch of
+    rays (the vectorized analog of dumping every 100,000th ray,
+    zoic.cpp:1758-1764).
+    """
+
+    draw: bool = False
+    draw_stride: int = 100_000  # reference dumps 1 ray per 100k (zoic.cpp:1760)
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """The 14 user parameters of the reference camera, with their defaults.
+
+    Reference declaration and defaults: src/zoic.cpp:1547-1562
+    (``node_parameters``).  Units follow the reference: centimeters for
+    sensor/focal sizes, and the lens ``.dat`` files are in millimeters
+    (converted on load, zoic.cpp:946-950).
+    """
+
+    sensor_width: float = 3.6            # cm, full-frame width
+    sensor_height: float = 2.4           # cm, full-frame height
+    focal_length: float = 2.0            # cm (reference default 2.0)
+    fstop: float = 4.0
+    focal_distance: float = 100.0        # cm
+    use_image: bool = False              # image-based bokeh on/off
+    bokeh_path: str = ""                 # path to bokeh image
+    lens_model: LensModel = LensModel.RAYTRACED
+    lens_data_path: str = ""             # path to tabular lens .dat
+    kolb_sampling_lut: bool = True       # exit-pupil LUT on/off
+    use_dof: bool = True                 # depth of field on/off
+    optical_vignetting_distance: float = 0.0
+    optical_vignetting_radius: float = 1.0
+    exposure_control: float = 0.0
+
+    # --- framework-side knobs (no reference equivalent) ---
+    max_tries: int = 25                  # resample budget (zoic.cpp:1767)
+    lut_film_samples: int = 32           # exitPupilLUT(ld, 32, ...) zoic.cpp:1692
+    lut_bounds_samples: int = 100_000    # exitPupilLUT(ld, ..., 100000)
+    debug: DebugOptions = dataclasses.field(default_factory=DebugOptions)
+
+    def __post_init__(self):
+        for name, (lo, hi) in _RANGES.items():
+            v = getattr(self, name)
+            if not (lo <= v <= hi):
+                raise ValueError(
+                    f"CameraConfig.{name}={v} outside valid range [{lo}, {hi}]"
+                )
+        if self.lens_model is LensModel.RAYTRACED and not self.lens_data_path:
+            # reference aborts the render in this case (zoic.cpp:1639-1641)
+            raise ValueError(
+                "lens_data_path is required for the RAYTRACED lens model"
+            )
+        if self.use_image and not self.bokeh_path:
+            raise ValueError("bokeh_path is required when use_image=True")
+        if self.max_tries < 0:
+            raise ValueError("max_tries must be >= 0")
+
+    # The reference recomputes lens setup only when one of these changed
+    # (cameraParams::lensChanged, zoic.cpp:595-606).  We key the compiled-lens
+    # cache on the same tuple.
+    def lens_key(self) -> Tuple:
+        return (
+            self.sensor_width,
+            self.sensor_height,
+            self.focal_length,
+            self.fstop,
+            self.focal_distance,
+            self.use_image,
+            self.bokeh_path if self.use_image else None,
+            self.lens_model,
+            self.lens_data_path if self.lens_model is LensModel.RAYTRACED else None,
+            self.kolb_sampling_lut if self.lens_model is LensModel.RAYTRACED else None,
+        )
+
+    # cameraParams::bokehChanged (zoic.cpp:608-611)
+    def bokeh_key(self) -> Tuple:
+        return (self.use_image, self.bokeh_path if self.use_image else None)
+
+    def replace(self, **kw) -> "CameraConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,129 @@
+"""Raytraced ("Kolb") camera model.
+
+TPU-native rebuild of the reference's RAYTRACED branch of
+``camera_create_ray`` (src/zoic.cpp:1850-1964): film point at
+``(sx, sy) * sensorWidth/2`` on the shifted film plane, aperture sample
+targeted at the first element either naively (whole first-element disk,
+zoic.cpp:1873-1887) or shaped by the exit-pupil LUT (zoic.cpp:1889-1947),
+full element-stack trace (:mod:`zoic_tpu.trace`), masked resample rounds for
+vignetted attempts, and the final origin/direction negation
+(zoic.cpp:1960-1961).
+
+Known deviation (documented): in the reference's LUT *retry* path the
+centroid translation is added to both lens-UV components
+(``lens += translation``, zoic.cpp:1933) while the first attempt and the
+LUT self-test translate x only (zoic.cpp:1914, 1503).  We translate x only
+everywhere — the retry behavior is taken to be the typo.  See PARITY.md.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import pupil, trace
+from ..config import CameraConfig
+from ..optics import V3
+from ..system import CameraState, RayBatch, RayStats
+from . import common
+
+Array = jnp.ndarray
+
+
+def _attempt(
+    state: CameraState,
+    config: CameraConfig,
+    ox: Array, oy: Array, oz: Array,      # film point (reset every attempt)
+    shaping: Optional[Tuple[Array, Array, Array, Array]],
+    u1: Array, u2: Array,
+) -> Tuple[Array, tuple, Array]:
+    """One trace attempt from aperture uniforms (u1, u2).
+
+    Returns (ok, (ox, oy, oz, dx, dy, dz), tir_count) with the post-trace
+    partial state frozen exactly as the reference leaves it on failure.
+    """
+    lens = state.lens
+    lx, ly = common.aperture_sample(config.use_image, state.bokeh, u1, u2)
+
+    if shaping is None:
+        # naive: target the whole first element; the lens-UV is scaled by the
+        # element's *diameter* (zoic.cpp:1874-1875) — 2x over-cover, preserved.
+        tx = lx * lens.aperture[0]
+        ty = ly * lens.aperture[0]
+    else:
+        max_scale, translation, sin_t, cos_t = shaping
+        sx_ = lx * max_scale + translation
+        sy_ = ly * max_scale
+        tx = sx_ * cos_t - sy_ * sin_t
+        ty = sx_ * sin_t + sy_ * cos_t
+
+    dx = tx - ox
+    dy = ty - oy
+    # zeros_like keeps the component batch-varying under shard_map
+    dz = jnp.zeros_like(ox) - lens.thickness[0]
+
+    res = trace.trace_stack(lens, V3(ox, oy, oz), V3(dx, dy, dz))
+    payload = (res.origin.x, res.origin.y, res.origin.z,
+               res.direction.x, res.direction.y, res.direction.z)
+    return res.ok, payload, res.tir
+
+
+def create_rays(
+    state: CameraState,
+    config: CameraConfig,
+    sx: Array,
+    sy: Array,
+    lensx: Array,
+    lensy: Array,
+    key: Optional[Array] = None,
+) -> Tuple[RayBatch, RayStats]:
+    """Batched RAYTRACED ``camera_create_ray``."""
+    lens = state.lens
+    assert lens is not None, "raytraced model requires a compiled LensSystem"
+    b = sx.shape
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    ox = sx * (state.sensor_width * 0.5)
+    oy = sy * (state.sensor_width * 0.5)  # width for both axes (zoic.cpp:1853-1854)
+    oz = jnp.zeros_like(sx) + lens.origin_shift
+
+    if config.kolb_sampling_lut:
+        assert lens.lut is not None, "kolb_sampling_lut=True requires a built LUT"
+        # Shaping params depend only on the film point: computed once per ray
+        # and reused across retries, as the reference does (zoic.cpp:1891-1911).
+        dist = jnp.abs(jnp.sqrt(ox * ox + oy * oy))
+        max_scale, translation = pupil.lut_lookup(lens.lut, dist)
+        theta = jnp.arctan2(oy, ox)
+        from .. import optics as _optics
+
+        shaping = (max_scale, translation, _optics.fast_sin(theta), _optics.fast_cos(theta))
+    else:
+        shaping = None
+
+    ok0, payload0, tir0 = _attempt(state, config, ox, oy, oz, shaping, lensx, lensy)
+
+    def retry(round_key: Array, pending: Array):
+        u = jax.random.uniform(round_key, (2,) + b, dtype=jnp.float32)
+        ok, payload, tir = _attempt(state, config, ox, oy, oz, shaping, u[0], u[1])
+        # count TIR events only on lanes that actually retried this round
+        return ok, payload, jnp.sum(tir & pending, dtype=jnp.int32)
+
+    ok, payload, tries, tir_total = common.resample_rounds(
+        ok0, payload0, retry, key, config.max_tries,
+        jnp.sum(tir0, dtype=jnp.int32),
+    )
+
+    pox, poy, poz, pdx, pdy, pdz = payload
+    weight, n_ok, n_vig = common.weight_and_stats(tries, config.max_tries)
+
+    # flip ray direction and origin (zoic.cpp:1960-1961)
+    origin = jnp.stack([-pox, -poy, -poz], axis=-1)
+    direction = jnp.stack([-pdx, -pdy, -pdz], axis=-1)
+
+    d_ody, d_ddy = common.fake_derivatives(tries, origin, direction)
+    weight = common.apply_exposure(weight, state.exposure_control)
+    stats = RayStats(n_ok, n_vig, tir_total)
+    return RayBatch(origin, direction, weight, d_ody, d_ddy), stats

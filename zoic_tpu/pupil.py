@@ -1,0 +1,159 @@
+"""Exit-pupil lookup table: vectorized build and sample shaping.
+
+Reference: ``exitPupilLUT`` (src/zoic.cpp:1391-1452) fires, for each of 32
+film-x positions spaced ``filmWidth/32`` apart (film width hard-coded 4.0,
+zoic.cpp:1393), 100,000 random rays at the *whole* first lens element and
+records the 2D bounding box of the lens-UV values that survive the full
+trace.  The per-ray loop over 3.2 M traces becomes ONE batched trace of a
+``[n_film, n_samples]`` grid followed by masked min/max reductions.
+
+The hot-path shaping transform (zoic.cpp:1891-1924 and its LUT test twin
+zoic.cpp:1458-1544) maps a unit-disk sample into the interpolated pupil
+bounding box: scale by the lerped ``getMaxScale() * 1.05``, translate x by
+the lerped centroid x, rotate by the film point's azimuth.  Because the
+``std::map`` keys are uniformly spaced, ``lower_bound`` reduces to
+``ceil(dist / spacing)``; the reference's begin()-decrement edge case at
+``dist == 0`` takes the dedicated branch (zoic.cpp:1494-1524) and distances
+beyond the last key (impossible for sensible sensors: max key 3.875 vs max
+film radius ~2.16) are clamped.
+
+IMPORTANT INVARIANT: the shaped sampling region *defines* the resample
+acceptance probability, and therefore the amount of edge darkening
+(vignetting) in the image.  The transform must match the reference exactly —
+a "better" (tighter) pupil cover would brighten edges relative to the
+reference.  Do not optimize the cover.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import optics, trace
+from .optics import V3
+from .system import LensSystem, PupilLUT
+
+Array = jnp.ndarray
+
+FILM_WIDTH = 4.0                   # hard-coded (zoic.cpp:1393)
+SAMPLING_ERROR_CORRECTION = 1.05   # safety margin (zoic.cpp:1463, 1891)
+
+
+def build_lut(
+    lens: LensSystem,
+    key: Array,
+    n_film: int = 32,
+    n_samples: int = 100_000,
+) -> PupilLUT:
+    """Vectorized ``exitPupilLUT``: one batched trace over the full
+    ``[n_film, n_samples]`` grid instead of 3.2 M sequential traces.
+
+    RNG: the reference draws from its shared xor128 stream; we use counted
+    ``jax.random`` bits.  The resulting bboxes agree statistically (the LUT
+    is a Monte-Carlo bound estimate either way).
+    """
+    spacing = jnp.float32(FILM_WIDTH / n_film)
+    film_x = jnp.arange(n_film, dtype=jnp.float32) * spacing  # keys (zoic.cpp:1399)
+
+    u = jax.random.uniform(key, (2, n_film, n_samples), dtype=jnp.float32)
+    lens_u = u[0] * 2.0 - 1.0
+    lens_v = u[1] * 2.0 - 1.0
+
+    first_ap = lens.aperture[0]
+    first_thick = lens.thickness[0]
+
+    ox = jnp.broadcast_to(film_x[:, None], lens_u.shape)
+    oy = jnp.zeros_like(ox)
+    oz = jnp.broadcast_to(lens.origin_shift, lens_u.shape)
+    # Target the whole first element: note the reference multiplies the
+    # lens-UV by the element's *diameter* value (zoic.cpp:1417), i.e. the
+    # sampled disk over-covers the element by 2x. Preserved.
+    dx = lens_u * first_ap - ox
+    dy = lens_v * first_ap - oy
+    dz = jnp.broadcast_to(-first_thick, lens_u.shape)
+
+    res = trace.trace_stack(lens, V3(ox, oy, oz), V3(dx, dy, dz))
+    ok = res.ok
+
+    px = lens_u * first_ap
+    py = lens_v * first_ap
+    big = jnp.float32(jnp.inf)
+    min_x = jnp.min(jnp.where(ok, px, big), axis=1)
+    min_y = jnp.min(jnp.where(ok, py, big), axis=1)
+    max_x = jnp.max(jnp.where(ok, px, -big), axis=1)
+    max_y = jnp.max(jnp.where(ok, py, -big), axis=1)
+    # Film positions where nothing survives keep the reference's zero bbox
+    # (apertureBounds initialized to AI_P2_ZERO, zoic.cpp:1402-1404).
+    any_ok = jnp.any(ok, axis=1)
+    zero = jnp.float32(0.0)
+    min_x = jnp.where(any_ok, min_x, zero)
+    min_y = jnp.where(any_ok, min_y, zero)
+    max_x = jnp.where(any_ok, max_x, zero)
+    max_y = jnp.where(any_ok, max_y, zero)
+
+    # boundingBox2d::getMaxScale / getCentroid (zoic.cpp:495-517)
+    cx = (min_x + max_x) * 0.5
+    cy = (min_y + max_y) * 0.5
+    scale_x = jnp.abs(max_x - cx)
+    scale_y = jnp.abs(max_y - cy)
+    max_scale = jnp.maximum(scale_x, scale_y)
+
+    return PupilLUT(
+        keys=film_x,
+        max_scale=max_scale,
+        centroid_x=cx,
+        bbox_min_x=min_x,
+        bbox_min_y=min_y,
+        bbox_max_x=max_x,
+        bbox_max_y=max_y,
+    )
+
+
+def lut_lookup(lut: PupilLUT, dist: Array) -> Tuple[Array, Array]:
+    """Interpolated (max_scale_with_margin, centroid_x) for film radius
+    ``dist`` — the uniform-key reduction of the reference's
+    ``map::lower_bound`` + decrement + lerp (zoic.cpp:1892-1911).
+
+    For ``dist == 0`` the reference's dedicated branch uses the first key's
+    values directly (zoic.cpp:1512-1517); our ``perc = 0`` at index 0 yields
+    the same.
+    """
+    n = lut.keys.shape[0]
+    spacing = lut.keys[1] - lut.keys[0]
+    # lower_bound: first key >= dist. Keys are i*spacing.
+    i_lb = jnp.ceil(dist / spacing).astype(jnp.int32)
+    i_lb = jnp.clip(i_lb, 0, n - 1)
+    i_prev = jnp.clip(i_lb - 1, 0, n - 1)
+    lower = lut.keys[i_lb]
+    prev = lut.keys[i_prev]
+    # percentage = (dist - lower) / (prev - lower)  (zoic.cpp:1908):
+    # 0 at the lower_bound key, 1 at the previous key.
+    denom = prev - lower
+    perc = jnp.where(denom != 0.0, (dist - lower) / denom, 0.0)
+    perc = jnp.where(dist == 0.0, 0.0, perc)
+    max_scale = optics.lerp(perc, lut.max_scale[i_lb], lut.max_scale[i_prev])
+    centroid = optics.lerp(perc, lut.centroid_x[i_lb], lut.centroid_x[i_prev])
+    return max_scale * SAMPLING_ERROR_CORRECTION, centroid
+
+
+def shape_sample(
+    lut: PupilLUT,
+    lens_x: Array,
+    lens_y: Array,
+    film_x: Array,
+    film_y: Array,
+) -> Tuple[Array, Array]:
+    """Apply the LUT shaping to unit-disk samples for film points
+    (zoic.cpp:1891-1924): scale to the interpolated pupil bound, translate x
+    by the interpolated centroid, rotate by atan2(y, x) — using the
+    reference's fastSin/fastCos for the rotation."""
+    dist = jnp.abs(jnp.sqrt(film_x * film_x + film_y * film_y))
+    max_scale, translation = lut_lookup(lut, dist)
+    theta = jnp.arctan2(film_y, film_x)
+    s = optics.fast_sin(theta)
+    c = optics.fast_cos(theta)
+    lx = lens_x * max_scale + translation
+    ly = lens_y * max_scale
+    return lx * c - ly * s, lx * s + ly * c

@@ -1,0 +1,139 @@
+"""Compiled lens state pytrees.
+
+The reference keeps per-node mutable state in ``cameraData``/``Lensdata``
+(src/zoic.cpp:627-643, 528-541): an array-of-structs element vector plus
+solved scalars and the exit-pupil LUT ``std::map``.  The TPU-native
+equivalent is an immutable struct-of-arrays pytree that lives in HBM and is
+closed over by the jitted ray generators.  It is a serializable pytree — the
+"compiled lens" cache keyed by ``CameraConfig.lens_key()`` replaces the
+reference's ``lensChanged`` memoization (zoic.cpp:595-606, 1615).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PupilLUT:
+    """Exit-pupil lookup table (reference ``exitPupilLUT`` + ``apertureMap``,
+    zoic.cpp:1391-1452, 540).
+
+    The reference stores ``std::map<film_x, boundingBox2d>`` over
+    ``n`` uniformly spaced film-x keys (spacing ``film_width / n``,
+    zoic.cpp:1393-1399) and interpolates ``getMaxScale()``/``getCentroid().x``
+    between the two keys bracketing a film radius.  Since the keys are
+    uniform, ``std::map::lower_bound`` reduces to an index computation — we
+    store the derived per-key scalars directly.
+    """
+
+    keys: Array        # f32[n]  film-x sample positions (i * spacing)
+    max_scale: Array   # f32[n]  boundingBox2d::getMaxScale()
+    centroid_x: Array  # f32[n]  boundingBox2d::getCentroid().x
+    # full bboxes kept for diagnostics/pupil plots
+    bbox_min_x: Array
+    bbox_min_y: Array
+    bbox_max_x: Array
+    bbox_max_y: Array
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LensSystem:
+    """SoA compiled lens stack + solved scalars (reference ``Lensdata``,
+    zoic.cpp:528-541, after the ``node_update`` pipeline zoic.cpp:1615-1698).
+
+    Element arrays are rear-first, centimeters, already rescaled by the
+    focal-length ratio.  ``aperture`` holds clear-aperture *diameters*
+    (the trace culls at ``aperture/2``, zoic.cpp:1114).
+    """
+
+    curvature: Array            # f32[E] signed radius of curvature
+    thickness: Array            # f32[E] axial gap (element 0 shifted negative)
+    ior: Array                  # f32[E]
+    abbe: Array                 # f32[E]
+    aperture: Array             # f32[E] clear-aperture diameter
+    center: Array               # f32[E] sphere-center z (computeLensCenters)
+    user_aperture_radius: Array  # f32[] iris radius from fStop (zoic.cpp:1664)
+    origin_shift: Array         # f32[] film-plane z (calculateImageDistance)
+    aperture_distance: Array    # f32[] film->iris distance (zoic.cpp:1678-1685)
+    focal_length_ratio: Array   # f32[] user focal / traced focal (zoic.cpp:1654)
+    traced_focal_length: Array  # f32[] post-scale traced focal length
+    film_diagonal: Array        # f32[] sqrt(sw^2 + sh^2) (zoic.cpp:1633)
+    focal_distance: Array       # f32[]
+    lut: Optional[PupilLUT]
+    # static (non-leaf) metadata
+    aperture_element: int = dataclasses.field(metadata=dict(static=True), default=-1)
+
+    @property
+    def count(self) -> int:
+        return int(self.curvature.shape[0])
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BokehImage:
+    """Prepared image-based bokeh sampler state (reference ``imageData``,
+    zoic.cpp:115-486).  See :mod:`zoic_tpu.bokeh` for construction."""
+
+    cdf_row: Array        # f32[h]    row CDF over sorted row sums
+    row_indices: Array    # i32[h]    descending-sum row order
+    cdf_col: Array        # f32[h, w] per-row CDF over sorted columns
+    col_indices: Array    # i32[h, w] per-row descending column order (global idx)
+    width: int = dataclasses.field(metadata=dict(static=True), default=0)
+    height: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CameraState:
+    """Everything ``create_rays`` needs, device-resident
+    (reference ``cameraData``, zoic.cpp:627-643)."""
+
+    fov: Array                  # f32[] thin-lens fov (zoic.cpp:1606)
+    tan_fov: Array              # f32[] tan(fov/2)
+    aperture_radius: Array      # f32[] thin-lens aperture radius f/(2 fStop)
+    sensor_width: Array         # f32[]
+    sensor_height: Array        # f32[]
+    focal_distance: Array       # f32[]
+    ov_distance: Array          # f32[] opticalVignettingDistance
+    ov_radius: Array            # f32[] opticalVignettingRadius
+    exposure_control: Array     # f32[]
+    lens: Optional[LensSystem]
+    bokeh: Optional[BokehImage]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RayBatch:
+    """Batched camera-ray output (the reference's per-ray ``output`` struct
+    fields origin/dir/weight/dOdy/dDdy, zoic.cpp:1752-1990)."""
+
+    origin: Array   # f32[B, 3]
+    dir: Array      # f32[B, 3]
+    weight: Array   # f32[B]
+    d_ody: Array    # f32[B, 3] fake derivative (zoic.cpp:1974-1977)
+    d_ddy: Array    # f32[B, 3]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RayStats:
+    """Run counters (reference ``Lensdata`` counters + node_finish report,
+    zoic.cpp:533-534, 1729-1732), returned as reduced arrays instead of
+    racy shared ints."""
+
+    success: Array     # i32[] rays that passed within the retry budget
+    vignetted: Array   # i32[] rays zero-weighted after exhausting retries
+    tir: Array         # i32[] total-internal-reflection events
+
+    def vignetted_percent(self) -> Array:
+        denom = self.success.astype(jnp.float32) + self.vignetted.astype(jnp.float32)
+        return jnp.where(denom > 0, self.vignetted / denom * 100.0, 0.0)

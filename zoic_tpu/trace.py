@@ -1,0 +1,103 @@
+"""Batched element-stack tracing.
+
+TPU-native rebuild of the reference's hot tracer ``traceThroughLensElements``
+(src/zoic.cpp:1099-1158) and its LUT variant
+``traceThroughLensElementsForApertureSize`` (zoic.cpp:1309-1350): a scalar
+rear-to-front loop over lens elements — sphere intersection, aperture /
+boundary cull, Snell refraction with TIR — becomes a ``lax.scan`` over the
+element arrays applied to a whole ray batch at once.  Per-ray early-exit
+``return false`` becomes an ``active`` mask; a ray that dies keeps exactly
+the partial state the reference would leave behind:
+
+* intersection miss / cull: origin frozen at the previous element's hit
+  (the reference returns before writing, zoic.cpp:1107-1117);
+* TIR: origin already advanced to the hit point, direction frozen
+  (zoic.cpp:1130-1144 update order).
+
+The same function drives the raytraced camera model, the exit-pupil LUT
+build, and the diagnostics ray tape.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import optics
+from .optics import V3
+from .system import LensSystem
+
+Array = jnp.ndarray
+
+
+class TraceResult(NamedTuple):
+    origin: V3        # final (or frozen partial) hit point per ray
+    direction: V3     # final (or frozen partial) direction per ray
+    ok: Array         # bool[B] — survived the full stack
+    tir: Array        # bool[B] — died by total internal reflection
+    # Optional per-element hit tape for diagnostics (None unless requested):
+    # f32[E, B] z/y hit coordinates, NaN where the ray was already dead.
+    tape_z: Optional[Array] = None
+    tape_y: Optional[Array] = None
+
+
+def trace_stack(
+    lens: LensSystem,
+    origin: V3,
+    direction: V3,
+    *,
+    record_tape: bool = False,
+) -> TraceResult:
+    """Trace a batch of rays rear-to-front through the element stack.
+
+    ``origin``/``direction`` components may have any batch shape.  Uses the
+    per-element culls of the reference: clear-aperture radius
+    ``aperture[i]/2`` everywhere plus the user iris radius at the aperture
+    element (zoic.cpp:1114-1117).
+    """
+    e = lens.count
+    ap_el = lens.aperture_element
+    is_aperture = jnp.arange(e) == ap_el
+    ior_next = jnp.concatenate([lens.ior[1:], jnp.ones((1,), jnp.float32)])
+
+    def body(carry, elem):
+        o, d, active, tir_any = carry
+        center_z, curv, ap, n1, n2, is_ap = elem
+
+        hit, miss = optics.ray_sphere_intersect(
+            o, d, center_z, curv, reverse=False, cull_miss=True
+        )
+        hit2 = hit.x * hit.x + hit.y * hit.y
+        half_ap = ap * 0.5
+        cull = hit2 > half_ap * half_ap
+        cull = cull | (is_ap & (hit2 > lens.user_aperture_radius * lens.user_aperture_radius))
+
+        reached = active & ~miss & ~cull
+        o = optics.where_v3(reached, hit, o)
+
+        normal = optics.sphere_normal(hit, center_z, curv)
+        d_new, tir = optics.refract(d, normal, n1, n2, check_tir=True)
+        tir = reached & tir
+        alive = reached & ~tir
+        d = optics.where_v3(alive, d_new, d)
+        tir_any = tir_any | tir
+
+        tape = None
+        if record_tape:
+            nan = jnp.float32(jnp.nan)
+            tape = (
+                jnp.where(reached, hit.z, nan),
+                jnp.where(reached, hit.y, nan),
+            )
+        return (o, d, alive, tir_any), tape
+
+    ones = jnp.ones_like(origin.x, dtype=bool)
+    init = (origin, direction, ones, jnp.zeros_like(ones))
+    elems = (lens.center, lens.curvature, lens.aperture, lens.ior, ior_next, is_aperture)
+    (o, d, active, tir_any), tapes = jax.lax.scan(body, init, elems)
+
+    if record_tape:
+        return TraceResult(o, d, active, tir_any, tapes[0], tapes[1])
+    return TraceResult(o, d, active, tir_any)
