@@ -1,0 +1,209 @@
+"""Golden parity tests against the standalone C++ oracle.
+
+The oracle (tools/oracle/oracle.cpp) re-implements the reference camera
+math in float32 C++ (the reference's precision class) with no Arnold
+dependency; these tests enforce the BASELINE.json accuracy gate —
+<1e-5 ray-direction RMSE vs the C++ implementation — plus scalar golden
+agreement for every derived lens quantity, per lens file."""
+
+import json
+import os
+import shutil
+import subprocess
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import zoic_tpu as zt
+import zoic_tpu.lensfile as lensfile
+import zoic_tpu.solve as solve
+
+ORACLE_SRC = os.path.join(os.path.dirname(__file__), "..", "tools", "oracle", "oracle.cpp")
+
+
+@pytest.fixture(scope="session")
+def oracle(tmp_path_factory):
+    if shutil.which("g++") is None:
+        pytest.skip("g++ unavailable")
+    exe = tmp_path_factory.mktemp("oracle") / "zoic_oracle"
+    subprocess.run(
+        ["g++", "-O2", "-std=c++17", "-o", str(exe), ORACLE_SRC], check=True
+    )
+
+    def run(args, stdin=""):
+        out = subprocess.run(
+            [str(exe)] + [str(a) for a in args],
+            input=stdin,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        return json.loads(out.stdout)
+
+    return run
+
+
+SOLVE_PARAMS = dict(focal_length=5.0, fstop=2.0, focal_distance=100.0)
+
+
+@pytest.mark.parametrize("name", sorted(zt.data.LENSES))
+def test_solve_golden(oracle, name):
+    """Every derived quantity of the lens-compile pipeline matches the C++
+    oracle (reference pipeline zoic.cpp:1615-1698)."""
+    path = zt.data.lens_path(name)
+    want = oracle(["solve", path, 5.0, 2.0, 100.0])
+
+    rx = lensfile.load(path)
+    system, report = solve.solve_lens(
+        rx,
+        zt.CameraConfig(
+            lens_model=zt.LensModel.RAYTRACED,
+            lens_data_path=path,
+            kolb_sampling_lut=False,
+            **SOLVE_PARAMS,
+        ),
+    )
+    assert system.count == want["count"]
+    assert system.aperture_element == want["aperture_element"]
+    rel = 2e-4  # float32 op-ordering differences across two implementations
+    assert float(report["traced_focal_length_raw"]) == pytest.approx(want["focal_raw"], rel=rel)
+    assert float(report["principal_plane_raw"]) == pytest.approx(want["pp_raw"], rel=rel)
+    assert float(report["focal_length_ratio"]) == pytest.approx(want["ratio"], rel=rel)
+    assert float(system.traced_focal_length) == pytest.approx(want["focal"], rel=rel)
+    assert float(system.user_aperture_radius) == pytest.approx(
+        want["user_aperture_radius"], rel=rel
+    )
+    assert float(system.origin_shift) == pytest.approx(
+        want["origin_shift"], rel=3e-4, abs=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(system.curvature), np.asarray(want["curvature"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(system.thickness), np.asarray(want["thickness"]), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(system.aperture), np.asarray(want["aperture"]), rtol=1e-5
+    )
+
+
+@pytest.mark.parametrize(
+    "name", ["double_gauss_f2.0", "tessar_f2.8", "fisheye_muller_f4.0", "petzval_f1.25"]
+)
+def test_raytraced_first_attempt_rmse(oracle, name):
+    """BASELINE gate: <1e-5 ray-direction RMSE vs the C++ implementation.
+
+    First-attempt naive-targeting rays (deterministic; retries draw RNG and
+    are validated distributionally elsewhere).  Compares ok-mask, origins
+    and directions for 2048 rays."""
+    path = zt.data.lens_path(name)
+    n = 2048
+    rng = np.random.default_rng(7)
+    sx = rng.uniform(-1, 1, n).astype(np.float32)
+    sy = rng.uniform(-1, 1, n).astype(np.float32)
+    u = rng.uniform(0, 1, n).astype(np.float32)
+    v = rng.uniform(0, 1, n).astype(np.float32)
+    stdin = "\n".join(
+        f"{a:.9g} {b:.9g} {c:.9g} {d:.9g}" for a, b, c, d in zip(sx, sy, u, v)
+    )
+    want = oracle(["trace", path, 5.0, 2.0, 100.0, n], stdin=stdin)
+    w_ok = np.array([r["ok"] for r in want["rays"]])
+    w_origin = np.array([r["origin"] for r in want["rays"]], np.float32)
+    w_dir = np.array([r["dir"] for r in want["rays"]], np.float32)
+
+    cfg = zt.CameraConfig(
+        lens_model=zt.LensModel.RAYTRACED,
+        lens_data_path=path,
+        kolb_sampling_lut=False,
+        max_tries=0,  # first attempt only: 1 retry round happens but rays
+        # that fail it keep pending->weight 0; ok-mask must still match the
+        # deterministic first attempt, so compare via tries==0 successes.
+        **SOLVE_PARAMS,
+    )
+    # max_tries=0 still runs one retry round; make it deterministic by
+    # comparing only the first-attempt mask derived from weights+tries.
+    state = zt.compile_camera(cfg)
+    rays, stats = zt.create_rays(
+        state, cfg, jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(u), jnp.asarray(v),
+        jax.random.PRNGKey(0),
+    )
+    got_ok = np.asarray(rays.weight) > 0.0
+    # with max_tries=0: weight>0  <=>  first attempt succeeded
+    np.testing.assert_array_equal(got_ok, w_ok)
+
+    go = np.asarray(rays.origin)[got_ok]
+    gd = np.asarray(rays.dir)[got_ok]
+    wo = w_origin[w_ok]
+    wd = w_dir[w_ok]
+    dir_rmse = float(np.sqrt(np.mean((gd - wd) ** 2)))
+    origin_rmse = float(np.sqrt(np.mean((go - wo) ** 2)))
+    assert dir_rmse < 1e-5, f"direction RMSE {dir_rmse}"
+    assert origin_rmse < 1e-4, f"origin RMSE {origin_rmse}"
+
+
+def test_thinlens_first_attempt_rmse(oracle):
+    n = 2048
+    rng = np.random.default_rng(11)
+    sx = rng.uniform(-1, 1, n).astype(np.float32)
+    sy = rng.uniform(-1, 1, n).astype(np.float32)
+    u = rng.uniform(0, 1, n).astype(np.float32)
+    v = rng.uniform(0, 1, n).astype(np.float32)
+    stdin = "\n".join(
+        f"{a:.9g} {b:.9g} {c:.9g} {d:.9g}" for a, b, c, d in zip(sx, sy, u, v)
+    )
+    want = oracle(
+        ["thinlens", 3.6, 2.4, 5.0, 1.4, 100.0, 4.0, 0.6, n], stdin=stdin
+    )
+    w_ok = np.array([r["ok"] for r in want["rays"]])
+    w_origin = np.array([r["origin"] for r in want["rays"]], np.float32)
+    w_dir = np.array([r["dir"] for r in want["rays"]], np.float32)
+
+    cfg = zt.CameraConfig(
+        lens_model=zt.LensModel.THINLENS,
+        focal_length=5.0,
+        fstop=1.4,
+        focal_distance=100.0,
+        use_dof=True,
+        optical_vignetting_distance=4.0,
+        optical_vignetting_radius=0.6,
+        max_tries=0,
+    )
+    state = zt.compile_camera(cfg)
+    rays, _ = zt.create_rays(
+        state, cfg, jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(u), jnp.asarray(v),
+        jax.random.PRNGKey(0),
+    )
+    got_ok = np.asarray(rays.weight) > 0.0
+    np.testing.assert_array_equal(got_ok, w_ok)
+    assert float(np.sqrt(np.mean((np.asarray(rays.dir)[got_ok] - w_dir[w_ok]) ** 2))) < 1e-5
+    assert float(np.sqrt(np.mean((np.asarray(rays.origin)[got_ok] - w_origin[w_ok]) ** 2))) < 1e-5
+    assert float(state.tan_fov) == pytest.approx(want["tan_fov"], rel=1e-6)
+    assert float(state.aperture_radius) == pytest.approx(
+        want["aperture_radius"], rel=1e-6
+    )
+
+
+def test_bokeh_sample_bit_parity(oracle):
+    """The two-level CDF inversion must map identical uniforms to identical
+    pixels (both sides use stable descending sorts; PARITY.md item 9)."""
+    rng = np.random.default_rng(3)
+    h = w = 16
+    img = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+    n = 512
+    ur = rng.uniform(0, 1, n).astype(np.float32)
+    uc = rng.uniform(0, 1, n).astype(np.float32)
+    stdin = (
+        "\n".join(" ".join(f"{x:.9g}" for x in px) for px in img.reshape(-1, 3))
+        + "\n"
+        + "\n".join(f"{a:.9g} {b:.9g}" for a, b in zip(ur, uc))
+    )
+    want = np.array(oracle(["bokeh", w, h, n], stdin=stdin)["samples"], np.float32)
+
+    import zoic_tpu.bokeh as bokeh
+
+    image = bokeh.build(img)
+    dx, dy = bokeh.sample(image, jnp.asarray(ur), jnp.asarray(uc))
+    got = np.stack([np.asarray(dx), np.asarray(dy)], -1)
+    np.testing.assert_allclose(got, want, atol=1e-6)
