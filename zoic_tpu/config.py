@@ -78,6 +78,7 @@ class CameraConfig:
 
     # --- framework-side knobs (no reference equivalent) ---
     max_tries: int = 25                  # resample budget (zoic.cpp:1767)
+    impl: str = "auto"                   # "auto" | "jnp" | "pallas"
     lut_film_samples: int = 32           # exitPupilLUT(ld, 32, ...) zoic.cpp:1692
     lut_bounds_samples: int = 100_000    # exitPupilLUT(ld, ..., 100000)
     debug: DebugOptions = dataclasses.field(default_factory=DebugOptions)
@@ -98,6 +99,8 @@ class CameraConfig:
             raise ValueError("bokeh_path is required when use_image=True")
         if self.max_tries < 0:
             raise ValueError("max_tries must be >= 0")
+        if self.impl not in ("auto", "jnp", "pallas"):
+            raise ValueError(f"impl must be auto|jnp|pallas, got {self.impl!r}")
 
     # The reference recomputes lens setup only when one of these changed
     # (cameraParams::lensChanged, zoic.cpp:595-606).  We key the compiled-lens

@@ -70,6 +70,20 @@ def _attempt(
     return res.ok, payload, res.tir
 
 
+def _use_pallas(config: CameraConfig) -> bool:
+    """Pick the fused TPU kernel when eligible.
+
+    The fused kernel covers the non-bokeh sampling paths (concentric disk,
+    naive or LUT shaping); image-based bokeh retries need CDF gathers and
+    stay on the jnp path.  On CPU the kernel runs interpreted (tests) only
+    when explicitly requested."""
+    if config.impl == "jnp" or config.use_image:
+        return False
+    if config.impl == "pallas":
+        return True
+    return jax.default_backend() == "tpu"
+
+
 def create_rays(
     state: CameraState,
     config: CameraConfig,
@@ -85,6 +99,9 @@ def create_rays(
     b = sx.shape
     if key is None:
         key = jax.random.PRNGKey(0)
+
+    if _use_pallas(config) and len(b) == 1:
+        return _create_rays_pallas(state, config, sx, sy, lensx, lensy, key)
 
     ox = sx * (state.sensor_width * 0.5)
     oy = sy * (state.sensor_width * 0.5)  # width for both axes (zoic.cpp:1853-1854)
@@ -126,4 +143,60 @@ def create_rays(
     d_ody, d_ddy = common.fake_derivatives(tries, origin, direction)
     weight = common.apply_exposure(weight, state.exposure_control)
     stats = RayStats(n_ok, n_vig, tir_total)
+    return RayBatch(origin, direction, weight, d_ody, d_ddy), stats
+
+
+def _shaping_params(
+    state: CameraState, config: CameraConfig, ox: Array, oy: Array
+) -> Tuple[Array, Array, Array, Array]:
+    """Per-ray aperture-shaping constants, unified across naive and LUT
+    modes: sample' = R(theta) @ (sample * max_scale + (translation, 0)).
+    Naive mode (zoic.cpp:1874-1876) is (aperture0, 0, identity)."""
+    lens = state.lens
+    if config.kolb_sampling_lut:
+        from .. import optics as _optics
+
+        dist = jnp.abs(jnp.sqrt(ox * ox + oy * oy))
+        max_scale, translation = pupil.lut_lookup(lens.lut, dist)
+        theta = jnp.arctan2(oy, ox)
+        return max_scale, translation, _optics.fast_sin(theta), _optics.fast_cos(theta)
+    zero = jnp.zeros_like(ox)
+    return (
+        zero + lens.aperture[0],
+        zero,
+        zero,
+        zero + 1.0,
+    )
+
+
+def _create_rays_pallas(
+    state: CameraState,
+    config: CameraConfig,
+    sx: Array,
+    sy: Array,
+    lensx: Array,
+    lensy: Array,
+    key: Array,
+) -> Tuple[RayBatch, RayStats]:
+    """Fused-kernel path: the whole sample->shape->trace->retry pipeline runs
+    in one Pallas kernel (ops/trace_kernel.py); only the weight/exposure/
+    derivative epilogue stays in jnp."""
+    from ..ops import trace_kernel
+
+    lens = state.lens
+    ox = sx * (state.sensor_width * 0.5)
+    oy = sy * (state.sensor_width * 0.5)
+    shaping = _shaping_params(state, config, ox, oy)
+    seed = jax.random.randint(key, (), 0, 1 << 22)
+
+    origin, direction, tries, tir = trace_kernel.raytraced_fused(
+        lens, sx, sy, lensx, lensy, *shaping,
+        state.sensor_width, seed,
+        max_tries=config.max_tries,
+        interpret=jax.default_backend() == "cpu",
+    )
+    weight, n_ok, n_vig = common.weight_and_stats(tries, config.max_tries)
+    d_ody, d_ddy = common.fake_derivatives(tries, origin, direction)
+    weight = common.apply_exposure(weight, state.exposure_control)
+    stats = RayStats(n_ok, n_vig, jnp.sum(tir, dtype=jnp.int32))
     return RayBatch(origin, direction, weight, d_ody, d_ddy), stats

@@ -90,6 +90,15 @@ def create_rays(
     if key is None:
         key = jax.random.PRNGKey(0)
 
+    use_pallas = (
+        config.impl != "jnp"
+        and not config.use_image
+        and len(b) == 1
+        and (config.impl == "pallas" or jax.default_backend() == "tpu")
+    )
+    if use_pallas:
+        return _create_rays_pallas(state, config, sx, sy, lensx, lensy, key)
+
     # pinhole direction (zoic.cpp:1774-1777); origin starts at the camera
     # origin (0,0,0), so dir = normalize(p).
     p = V3(sx * state.tan_fov, sy * state.tan_fov, jnp.ones(b, jnp.float32))
@@ -132,4 +141,38 @@ def create_rays(
     d_ody, d_ddy = common.fake_derivatives(tries, origin, direction)
     weight = common.apply_exposure(weight, state.exposure_control)
     stats = RayStats(n_ok, n_vig, tir_total)
+    return RayBatch(origin, direction, weight, d_ody, d_ddy), stats
+
+
+def _create_rays_pallas(
+    state: CameraState,
+    config: CameraConfig,
+    sx: Array,
+    sy: Array,
+    lensx: Array,
+    lensy: Array,
+    key: Array,
+) -> Tuple[RayBatch, RayStats]:
+    """Fused-kernel path (ops/trace_kernel.thinlens_fused)."""
+    from ..ops import trace_kernel
+
+    seed = jax.random.randint(key, (), 0, 1 << 22)
+    origin, direction, tries = trace_kernel.thinlens_fused(
+        sx, sy, lensx, lensy,
+        state.tan_fov, state.aperture_radius, state.focal_distance,
+        state.ov_distance, state.ov_radius, seed,
+        use_dof=config.use_dof,
+        has_ov=config.optical_vignetting_distance > 0.0,
+        max_tries=config.max_tries,
+        interpret=jax.default_backend() == "cpu",
+    )
+    if config.use_dof:
+        weight, n_ok, n_vig = common.weight_and_stats(tries, config.max_tries)
+    else:
+        weight = jnp.ones_like(sx)
+        n_ok = jnp.int32(0)
+        n_vig = jnp.int32(0)
+    d_ody, d_ddy = common.fake_derivatives(tries, origin, direction)
+    weight = common.apply_exposure(weight, state.exposure_control)
+    stats = RayStats(n_ok, n_vig, jnp.int32(0))
     return RayBatch(origin, direction, weight, d_ody, d_ddy), stats

@@ -41,6 +41,10 @@ FILM_WIDTH = 4.0                   # hard-coded (zoic.cpp:1393)
 SAMPLING_ERROR_CORRECTION = 1.05   # safety margin (zoic.cpp:1463, 1891)
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("n_film", "n_samples"))
 def build_lut(
     lens: LensSystem,
     key: Array,

@@ -211,31 +211,57 @@ def solve_lens(
     Returns the compiled :class:`LensSystem` (``lut=None``) and a dict of the
     solver's derived quantities — the same numbers the reference logs, which
     double as golden test values.
-    """
-    p = from_lensfile(rx)
 
+    The whole pipeline runs as ONE jitted computation: eager per-op dispatch
+    would cost a device round-trip per scalar op (expensive on remote-
+    attached TPUs).
+    """
+    import functools
+
+    jitted = functools.partial(
+        _solve_lens_impl,
+        aperture_element=rx.aperture_element,
+        focal_length=float(config.focal_length),
+        fstop=float(config.fstop),
+        focal_distance=float(config.focal_distance),
+        sensor_width=float(config.sensor_width),
+        sensor_height=float(config.sensor_height),
+    )
+    return jax.jit(jitted)(from_lensfile(rx))
+
+
+def _solve_lens_impl(
+    p: Prescription,
+    *,
+    aperture_element: int,
+    focal_length: float,
+    fstop: float,
+    focal_distance: float,
+    sensor_width: float,
+    sensor_height: float,
+) -> Tuple[LensSystem, dict]:
     t1 = trace_focal_length(p)
-    ratio = jnp.float32(config.focal_length) / t1.focal_length
+    ratio = jnp.float32(focal_length) / t1.focal_length
     p2 = rescale(p, ratio)
     t2 = trace_focal_length(p2)
 
-    user_ap = t2.focal_length / (2.0 * jnp.float32(config.fstop))
+    user_ap = t2.focal_length / (2.0 * jnp.float32(fstop))
     # Clamp if the requested f-stop is wider than the iris allows.  The
     # reference compares the radius against the element's *diameter* value
     # (zoic.cpp:1668-1671) — a quirk preserved deliberately.  Prescriptions
     # without an iris row (ROC == 0) leave ``apertureElement`` uninitialized
     # in the reference (UB); we define aperture_element = -1: no clamp and
     # no iris cull.
-    if rx.aperture_element >= 0:
-        iris_max = p2.aperture[rx.aperture_element]
+    if aperture_element >= 0:
+        iris_max = p2.aperture[aperture_element]
         user_ap = jnp.minimum(user_ap, iris_max)
 
-    origin_shift = image_distance(p2, jnp.float32(config.focal_distance))
-    ap_dist = aperture_distance(p2, rx.aperture_element)
+    origin_shift = image_distance(p2, jnp.float32(focal_distance))
+    ap_dist = aperture_distance(p2, aperture_element)
     centers = lens_centers(p2)
 
     film_diag = jnp.sqrt(
-        jnp.float32(config.sensor_width) ** 2 + jnp.float32(config.sensor_height) ** 2
+        jnp.float32(sensor_width) ** 2 + jnp.float32(sensor_height) ** 2
     )
 
     system = LensSystem(
@@ -251,9 +277,9 @@ def solve_lens(
         focal_length_ratio=ratio,
         traced_focal_length=t2.focal_length,
         film_diagonal=film_diag,
-        focal_distance=jnp.float32(config.focal_distance),
+        focal_distance=jnp.float32(focal_distance),
         lut=None,
-        aperture_element=rx.aperture_element,
+        aperture_element=aperture_element,
     )
     report = {
         "traced_focal_length_raw": t1.focal_length,
