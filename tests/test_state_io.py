@@ -1,0 +1,115 @@
+"""Serialization + sharding + render-frontend tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import zoic_tpu as zt
+from zoic_tpu import render
+from zoic_tpu.io import state as state_io
+from zoic_tpu.parallel import sharding
+
+
+def _cfg(**kw):
+    kw.setdefault("focal_length", 5.0)
+    kw.setdefault("fstop", 2.0)
+    kw.setdefault("focal_distance", 100.0)
+    return zt.CameraConfig(
+        lens_model=zt.LensModel.RAYTRACED,
+        lens_data_path=zt.data.lens_path("double_gauss_f2.0"),
+        lut_bounds_samples=10_000,
+        **kw,
+    )
+
+
+def test_state_round_trip(tmp_path):
+    cfg = _cfg()
+    st = zt.compile_camera(cfg)
+    p = tmp_path / "cam.npz"
+    state_io.save(str(p), st)
+    st2 = state_io.load(str(p))
+
+    # identical rays from the restored state
+    u = jax.random.uniform(jax.random.PRNGKey(0), (4, 512))
+    r1, s1 = zt.create_rays(st, cfg, u[0] * 2 - 1, u[1] * 2 - 1, u[2], u[3],
+                            jax.random.PRNGKey(5))
+    r2, s2 = zt.create_rays(st2, cfg, u[0] * 2 - 1, u[1] * 2 - 1, u[2], u[3],
+                            jax.random.PRNGKey(5))
+    np.testing.assert_array_equal(np.asarray(r1.origin), np.asarray(r2.origin))
+    np.testing.assert_array_equal(np.asarray(r1.dir), np.asarray(r2.dir))
+    np.testing.assert_array_equal(np.asarray(r1.weight), np.asarray(r2.weight))
+    assert int(s1.vignetted) == int(s2.vignetted)
+
+
+def test_cached_compile(tmp_path):
+    cfg = _cfg()
+    st1 = state_io.cached_compile(cfg, str(tmp_path))
+    st2 = state_io.cached_compile(cfg, str(tmp_path))  # from disk
+    np.testing.assert_array_equal(
+        np.asarray(st1.lens.curvature), np.asarray(st2.lens.curvature)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(st1.lens.lut.max_scale), np.asarray(st2.lens.lut.max_scale)
+    )
+    assert len(list(tmp_path.iterdir())) == 1
+
+
+def test_bokeh_state_round_trip(tmp_path):
+    img = np.zeros((16, 16, 3), np.float32)
+    img[4:12, 4:12] = 1.0
+    np.save(tmp_path / "bokeh.npy", img)
+    cfg = zt.CameraConfig(
+        lens_model=zt.LensModel.THINLENS,
+        focal_length=5.0, fstop=1.4, focal_distance=100.0,
+        use_image=True, bokeh_path=str(tmp_path / "bokeh.npy"),
+    )
+    st = zt.compile_camera(cfg)
+    p = tmp_path / "cam.npz"
+    state_io.save(str(p), st)
+    st2 = state_io.load(str(p))
+    assert st2.bokeh.width == 16 and st2.bokeh.height == 16
+    u = jax.random.uniform(jax.random.PRNGKey(1), (4, 256))
+    r1, _ = zt.create_rays(st, cfg, u[0] * 2 - 1, u[1] * 2 - 1, u[2], u[3])
+    r2, _ = zt.create_rays(st2, cfg, u[0] * 2 - 1, u[1] * 2 - 1, u[2], u[3])
+    np.testing.assert_array_equal(np.asarray(r1.origin), np.asarray(r2.origin))
+
+
+def test_sharded_matches_single_device():
+    """DP sharding over the 8-device CPU mesh must reproduce single-device
+    results exactly (per-shard retry keys differ only where retries occur;
+    compare first-attempt-deterministic config)."""
+    cfg = _cfg(max_tries=0, impl="jnp")
+    st = zt.compile_camera(cfg)
+    n = 1024
+    u = jax.random.uniform(jax.random.PRNGKey(2), (4, n))
+    sx, sy, lu, lv = u[0] * 2 - 1, u[1] * 2 - 1, u[2], u[3]
+
+    rays, stats = zt.create_rays(st, cfg, sx, sy, lu, lv, jax.random.PRNGKey(0))
+
+    mesh = sharding.make_mesh()
+    assert mesh.devices.size == 8
+    srays, sstats = sharding.create_rays_sharded(
+        mesh, st, cfg, sx, sy, lu, lv, jax.random.PRNGKey(0)
+    )
+    ok = np.asarray(rays.weight) > 0
+    sok = np.asarray(srays.weight) > 0
+    np.testing.assert_array_equal(ok, sok)
+    # sharded vs unsharded compilations fuse differently: f32 noise only
+    np.testing.assert_allclose(
+        np.asarray(rays.dir)[ok], np.asarray(srays.dir)[ok], atol=1e-6
+    )
+    assert int(sstats.success) + int(sstats.vignetted) == n
+
+
+def test_render_frame():
+    cfg = _cfg()
+    st = zt.compile_camera(cfg)
+    spec = render.FrameSpec(64, 48, spp=2)
+    rays, stats = render.render_rays(st, cfg, spec, jax.random.PRNGKey(3))
+    assert rays.origin.shape == (spec.n_samples, 3)
+    img = render.weight_image(spec, rays)
+    assert img.shape == (48, 64)
+    assert int(stats.success) + int(stats.vignetted) == spec.n_samples
+    # vignetting is radial: center at least as bright as corners
+    assert float(img[24, 32]) >= float(img[0, 0]) - 1e-6

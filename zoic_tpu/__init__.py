@@ -20,9 +20,23 @@ Quick start::
     rays, stats = cam.create_rays(sx, sy, lensx, lensy, key=jax.random.PRNGKey(7))
 """
 
-from . import bokeh, data, diag, lensfile, optics, parallel, pupil, sampling, solve, trace
+from . import (
+    bokeh,
+    data,
+    diag,
+    io,
+    lensfile,
+    optics,
+    parallel,
+    pupil,
+    render,
+    sampling,
+    solve,
+    trace,
+)
 from .camera import Camera, compile_camera, create_rays
 from .config import CameraConfig, DebugOptions, LensModel
+from .render import FrameSpec
 from .system import BokehImage, CameraState, LensSystem, PupilLUT, RayBatch, RayStats
 
 __version__ = "0.1.0"
@@ -38,15 +52,18 @@ __all__ = [
     "PupilLUT",
     "RayBatch",
     "RayStats",
+    "FrameSpec",
     "bokeh",
     "compile_camera",
     "create_rays",
     "data",
     "diag",
+    "io",
     "lensfile",
     "optics",
     "parallel",
     "pupil",
+    "render",
     "sampling",
     "solve",
     "trace",

@@ -189,7 +189,13 @@ def _create_rays_pallas(
     shaping = _shaping_params(state, config, ox, oy)
     seed = jax.random.randint(key, (), 0, 1 << 22)
 
-    origin, direction, tries, tir = trace_kernel.raytraced_fused(
+    # NOTE: trace_kernel.raytraced_phased (host-level straggler compaction)
+    # is semantically equivalent but currently loses badly on TPU: XLA
+    # lowers its 1M-element scatters near-serially (~10M elem/s measured).
+    # The single-launch kernel with whole-block masked rounds wins until
+    # compaction moves in-kernel.
+    kernel_fn = trace_kernel.raytraced_fused
+    origin, direction, tries, tir = kernel_fn(
         lens, sx, sy, lensx, lensy, *shaping,
         state.sensor_width, seed,
         max_tries=config.max_tries,

@@ -175,12 +175,14 @@ def _uniform_from_bits(shape):
 
 def _raytraced_kernel(
     n_elems: int,
-    max_tries: int,
+    n_rounds: int,     # retry rounds to run in this kernel invocation
+    max_total: int,    # global retry ceiling = max_tries + 1 (zoic.cpp:1767)
+    skip_initial: bool,  # phase-B: no input-uniform attempt, all-PRNG rounds
     # refs:
     elems_ref,      # SMEM (E, 8)
     scal_ref,       # SMEM (4,): origin_shift, dz0, seed, _pad
-    ox_ref, oy_ref, u1_ref, u2_ref, ms_ref, tr_ref, sin_ref, cos_ref,
-    out_ox, out_oy, out_oz, out_dx, out_dy, out_dz, out_tries, out_tir,
+    ox_ref, oy_ref, u1_ref, u2_ref, ms_ref, tr_ref, sin_ref, cos_ref, tries_ref,
+    out_ox, out_oy, out_oz, out_dx, out_dy, out_dz, out_tries, out_tir, out_ok,
 ):
     pltpu.prng_seed(scal_ref[2].astype(jnp.int32) + pl.program_id(0) * 7919)
 
@@ -194,6 +196,7 @@ def _raytraced_kernel(
     trn = tr_ref[:]
     sn = sin_ref[:]
     cs = cos_ref[:]
+    tries_in = tries_ref[:]
 
     def attempt(u1, u2):
         lx, ly = _concentric(u1, u2)
@@ -206,34 +209,43 @@ def _raytraced_kernel(
             jnp.zeros_like(fx) + dz0,
         )
 
-    ox, oy, oz, dx, dy, dz, ok, tir0 = attempt(u1_ref[:], u2_ref[:])
-    # loop-carried masks are int32: Mosaic has no i1 vector selects
-    ok_i = ok.astype(jnp.int32)
-    tries = jnp.zeros_like(fx, dtype=jnp.int32)
-    tir_count = tir0.astype(jnp.int32)
+    if skip_initial:
+        zero = jnp.zeros_like(fx)
+        ox, oy, oz, dx, dy, dz = fx, fy, fz, zero, zero, zero
+        ok_i = jnp.zeros_like(fx, dtype=jnp.int32)
+        tir_count = jnp.zeros_like(fx, dtype=jnp.int32)
+    else:
+        # attempt #0 from the caller's uniforms; consumes no retry
+        ox, oy, oz, dx, dy, dz, ok, tir0 = attempt(u1_ref[:], u2_ref[:])
+        # loop-carried masks are int32: Mosaic has no i1 vector selects
+        ok_i = ok.astype(jnp.int32)
+        tir_count = tir0.astype(jnp.int32)
+    tries = tries_in
 
     def cond(carry):
         rnd, _, _, _, _, _, _, ok_i, _, _ = carry
-        return (rnd <= max_tries + 1) & jnp.any(ok_i == 0)
+        return (rnd <= n_rounds) & jnp.any(
+            (ok_i == 0) & (tries_in + rnd <= max_total)
+        )
 
     def body(carry):
         rnd, ox, oy, oz, dx, dy, dz, ok_i, tries, tir_count = carry
         u1 = _uniform_from_bits(fx.shape)
         u2 = _uniform_from_bits(fx.shape)
         nox, noy, noz, ndx, ndy, ndz, nok, ntir = attempt(u1, u2)
-        pending = ok_i == 0
+        pending = (ok_i == 0) & (tries_in + rnd <= max_total)
         ox = jnp.where(pending, nox, ox)
         oy = jnp.where(pending, noy, oy)
         oz = jnp.where(pending, noz, oz)
         dx = jnp.where(pending, ndx, dx)
         dy = jnp.where(pending, ndy, dy)
         dz = jnp.where(pending, ndz, dz)
-        tries = jnp.where(pending, rnd, tries)
+        tries = jnp.where(pending, tries_in + rnd, tries)
         tir_count = tir_count + (pending & ntir).astype(jnp.int32)
         ok_i = jnp.where(pending, nok.astype(jnp.int32), ok_i)
         return rnd + 1, ox, oy, oz, dx, dy, dz, ok_i, tries, tir_count
 
-    if max_tries >= 0:
+    if n_rounds > 0:
         (_, ox, oy, oz, dx, dy, dz, ok_i, tries, tir_count) = jax.lax.while_loop(
             cond, body,
             (jnp.int32(1), ox, oy, oz, dx, dy, dz, ok_i, tries, tir_count),
@@ -248,6 +260,7 @@ def _raytraced_kernel(
     out_dz[:] = -dz
     out_tries[:] = tries
     out_tir[:] = tir_count
+    out_ok[:] = ok_i
 
 
 def _pad_rows(a: Array, rows: int) -> Array:
@@ -422,38 +435,28 @@ def thinlens_fused(
     return origin, direction, unprep(outs[5])
 
 
-@functools.partial(
-    jax.jit, static_argnames=("max_tries", "tile_rows", "interpret")
-)
-def raytraced_fused(
+def _raytraced_call(
     lens: LensSystem,
-    sx: Array,
-    sy: Array,
+    ox: Array,
+    oy: Array,
     u1: Array,
     u2: Array,
     max_scale: Array,
     translation: Array,
     sin_t: Array,
     cos_t: Array,
-    sensor_width: Array,
+    tries_in: Array,
     seed: Array,
     *,
-    max_tries: int,
-    tile_rows: int = DEF_TILE_ROWS,
-    interpret: bool = False,
-) -> Tuple[Array, Array, Array, Array]:
-    """Fused raytraced camera-ray generation (non-bokeh aperture sampling).
-
-    Flat [B] inputs; returns (origin[B,3], dir[B,3], tries[B], tir[B])
-    matching the jnp path's semantics (``tir`` counts per-ray TIR-failed
-    attempts).  ``max_scale``/``translation``/``sin_t``/``cos_t`` are the
-    per-ray shaping constants (LUT mode) or (aperture0, 0, 0, 1) for naive
-    mode — identical transforms to zoic.cpp:1874-1924.
-    """
-    b = sx.shape[0]
-    ox = sx * (sensor_width * 0.5)
-    oy = sy * (sensor_width * 0.5)
-
+    n_rounds: int,
+    max_total: int,
+    skip_initial: bool,
+    tile_rows: int,
+    interpret: bool,
+):
+    """One padded pallas_call over flat [B] arrays.  Returns
+    (origin[B,3], dir[B,3], tries[B], tir[B], ok[B])."""
+    b = ox.shape[0]
     n_pad = -b % LANES
     rows = (b + n_pad) // LANES
     row_pad = -rows % tile_rows
@@ -463,10 +466,19 @@ def raytraced_fused(
         a = jnp.pad(a, (0, n_pad), constant_values=fill)
         return _pad_rows(a.reshape(rows, LANES), total_rows)
 
-    # pad uniforms with 0.5 (center sample -> benign trace for pad lanes)
+    def prep_i(a, fill):
+        a = jnp.pad(a, (0, n_pad), constant_values=fill)
+        a = a.reshape(rows, LANES)
+        return jnp.pad(
+            a, ((0, total_rows - rows), (0, 0)), constant_values=fill
+        )
+
+    # pad uniforms with 0.5 (center sample -> benign trace for pad lanes);
+    # pad tries with max_total+1 so pad lanes never participate in rounds
     ins = [
         prep(ox), prep(oy), prep(u1, 0.5), prep(u2, 0.5),
         prep(max_scale), prep(translation), prep(sin_t), prep(cos_t, 1.0),
+        prep_i(tries_in, max_total + 1),
     ]
 
     elems = _pack_elements(lens)
@@ -487,19 +499,18 @@ def raytraced_fused(
     )
     out_shape = [
         jax.ShapeDtypeStruct((total_rows, LANES), jnp.float32) for _ in range(6)
-    ] + [
-        jax.ShapeDtypeStruct((total_rows, LANES), jnp.int32),
-        jax.ShapeDtypeStruct((total_rows, LANES), jnp.int32),
-    ]
+    ] + [jax.ShapeDtypeStruct((total_rows, LANES), jnp.int32) for _ in range(3)]
 
-    kernel = functools.partial(_raytraced_kernel, n_elems, max_tries)
+    kernel = functools.partial(
+        _raytraced_kernel, n_elems, n_rounds, max_total, skip_initial
+    )
     outs = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
-            in_specs=[blk] * 8,
-            out_specs=[blk] * 8,
+            in_specs=[blk] * 9,
+            out_specs=[blk] * 9,
         ),
         out_shape=out_shape,
         # TPU-semantics interpreter for CPU tests (plain interpret=True lacks
@@ -512,6 +523,190 @@ def raytraced_fused(
 
     origin = jnp.stack([unprep(outs[0]), unprep(outs[1]), unprep(outs[2])], -1)
     direction = jnp.stack([unprep(outs[3]), unprep(outs[4]), unprep(outs[5])], -1)
-    tries = unprep(outs[6])
-    tir = unprep(outs[7])
+    return origin, direction, unprep(outs[6]), unprep(outs[7]), unprep(outs[8])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_tries", "tile_rows", "interpret")
+)
+def raytraced_fused(
+    lens: LensSystem,
+    sx: Array,
+    sy: Array,
+    u1: Array,
+    u2: Array,
+    max_scale: Array,
+    translation: Array,
+    sin_t: Array,
+    cos_t: Array,
+    sensor_width: Array,
+    seed: Array,
+    *,
+    max_tries: int,
+    tile_rows: int = DEF_TILE_ROWS,
+    interpret: bool = False,
+) -> Tuple[Array, Array, Array, Array]:
+    """Fused raytraced camera-ray generation (non-bokeh aperture sampling),
+    single launch: the whole retry budget runs in-kernel.
+
+    Flat [B] inputs; returns (origin[B,3], dir[B,3], tries[B], tir[B])
+    matching the jnp path's semantics (``tir`` counts per-ray TIR-failed
+    attempts).  ``max_scale``/``translation``/``sin_t``/``cos_t`` are the
+    per-ray shaping constants (LUT mode) or (aperture0, 0, 0, 1) for naive
+    mode — identical transforms to zoic.cpp:1874-1924.
+    """
+    ox = sx * (sensor_width * 0.5)
+    oy = sy * (sensor_width * 0.5)
+    tries0 = jnp.zeros_like(sx, dtype=jnp.int32)
+    origin, direction, tries, tir, _ = _raytraced_call(
+        lens, ox, oy, u1, u2, max_scale, translation, sin_t, cos_t, tries0,
+        seed,
+        n_rounds=max_tries + 1 if max_tries >= 0 else 0,
+        max_total=max_tries + 1,
+        skip_initial=False,
+        tile_rows=tile_rows,
+        interpret=interpret,
+    )
+    return origin, direction, tries, tir
+
+
+def _compact_indices(mask: Array, capacity: int) -> Array:
+    """Indices of the first ``capacity`` set lanes of ``mask`` (i32
+    [capacity]); unfilled slots hold ``b`` (out-of-range sentinel)."""
+    b = mask.shape[0]
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    dest = jnp.where(mask & (pos < capacity), pos, capacity)
+    out = jnp.full((capacity,), b, jnp.int32)
+    return out.at[dest].set(
+        jnp.arange(b, dtype=jnp.int32), mode="drop"
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_tries", "tile_rows", "interpret", "phase_a_rounds",
+                     "compact_frac", "compact_iters", "compact_rounds"),
+)
+def raytraced_phased(
+    lens: LensSystem,
+    sx: Array,
+    sy: Array,
+    u1: Array,
+    u2: Array,
+    max_scale: Array,
+    translation: Array,
+    sin_t: Array,
+    cos_t: Array,
+    sensor_width: Array,
+    seed: Array,
+    *,
+    max_tries: int,
+    tile_rows: int = DEF_TILE_ROWS,
+    interpret: bool = False,
+    phase_a_rounds: int = 1,
+    compact_frac: int = 4,
+    compact_iters: int = 9,
+    compact_rounds: int = 3,
+) -> Tuple[Array, Array, Array, Array]:
+    """Straggler-compacted retry pipeline (same semantics as
+    :func:`raytraced_fused`, much less wasted SIMD work).
+
+    The whole-block masked retry loop makes every VMEM tile iterate until
+    its *slowest* ray finishes — with heterogeneous vignetting probabilities
+    that costs 10-26 full-batch attempts.  Here:
+
+    * phase A: one full-batch kernel (initial attempt + ``phase_a_rounds``
+      in-kernel retries);
+    * phase B: ``compact_iters`` iterations that gather the still-pending
+      rays into a ``B/compact_frac`` buffer (cumsum + drop-scatter), run
+      ``compact_rounds`` retries on the small homogeneous batch, and
+      scatter results back.  Per-ray try budgets carry across phases, so
+      the reference's 25-try/zero-weight semantics (zoic.cpp:1767,
+      1824-1830) are exact;
+    * fallback: if anything is still pending (pathological acceptance
+      rates that overflow the compact capacity), one guarded full-batch
+      kernel finishes the budget — cost no worse than the single-launch
+      path, and the guard branch is skipped at runtime otherwise.
+
+    Everything runs inside one jitted program: one device launch.
+    """
+    b = sx.shape[0]
+    max_total = max_tries + 1
+    ox = sx * (sensor_width * 0.5)
+    oy = sy * (sensor_width * 0.5)
+    tries0 = jnp.zeros_like(sx, dtype=jnp.int32)
+
+    call = functools.partial(
+        _raytraced_call,
+        tile_rows=tile_rows,
+        interpret=interpret,
+        max_total=max_total,
+    )
+
+    origin, direction, tries, tir, ok = call(
+        lens, ox, oy, u1, u2, max_scale, translation, sin_t, cos_t, tries0,
+        seed,
+        n_rounds=min(phase_a_rounds, max_total),
+        skip_initial=False,
+    )
+
+    capacity = max(LANES * 8, b // compact_frac)
+    dummy_u = jnp.full((capacity,), 0.5, jnp.float32)
+
+    for it in range(compact_iters):
+        pending = (ok == 0) & (tries < max_total)
+        idx = _compact_indices(pending, capacity)
+        safe = jnp.minimum(idx, b - 1)
+        valid = idx < b
+
+        c_args = tuple(
+            jnp.where(valid, a[safe], fill)
+            for a, fill in (
+                (ox, 0.0), (oy, 0.0), (max_scale, 1.0), (translation, 0.0),
+                (sin_t, 0.0), (cos_t, 1.0),
+            )
+        )
+        c_tries = jnp.where(valid, tries[safe], max_total + 1)
+
+        co, cd, ct, ctir, cok = call(
+            lens, c_args[0], c_args[1], dummy_u, dummy_u,
+            c_args[2], c_args[3], c_args[4], c_args[5], c_tries,
+            seed + 1000 + it,
+            n_rounds=compact_rounds,
+            skip_initial=True,
+        )
+
+        scatter_idx = jnp.where(valid, idx, b)  # drop invalid slots
+        origin = origin.at[scatter_idx].set(co, mode="drop")
+        direction = direction.at[scatter_idx].set(cd, mode="drop")
+        tries = tries.at[scatter_idx].set(ct, mode="drop")
+        tir = tir.at[scatter_idx].add(ctir, mode="drop")
+        ok = ok.at[scatter_idx].set(cok, mode="drop")
+
+    # exactness fallback for capacity-overflow pathologies
+    def finish(args):
+        origin, direction, tries, tir, ok = args
+        pend = (ok == 0) & (tries < max_total)
+        # exclude already-done lanes via the try ceiling (skip_initial
+        # kernels start with ok=0 internally)
+        f_tries = jnp.where(pend, tries, max_total + 1)
+        fo, fd, ft, ftir, fok = call(
+            lens, ox, oy, u1, u2,
+            max_scale, translation, sin_t, cos_t, f_tries,
+            seed + 99_999,
+            n_rounds=max_total,
+            skip_initial=True,
+        )
+        merge = lambda new, old: jnp.where(  # noqa: E731
+            pend if old.ndim == 1 else pend[:, None], new, old
+        )
+        return (
+            merge(fo, origin), merge(fd, direction), merge(ft, tries),
+            tir + jnp.where(pend, ftir, 0), merge(fok, ok),
+        )
+
+    any_pending = jnp.any((ok == 0) & (tries < max_total))
+    origin, direction, tries, tir, ok = jax.lax.cond(
+        any_pending, finish, lambda a: a, (origin, direction, tries, tir, ok)
+    )
     return origin, direction, tries, tir
