@@ -178,6 +178,7 @@ def _raytraced_kernel(
     n_rounds: int,     # retry rounds to run in this kernel invocation
     max_total: int,    # global retry ceiling = max_tries + 1 (zoic.cpp:1767)
     skip_initial: bool,  # phase-B: no input-uniform attempt, all-PRNG rounds
+    sub_rows: int,     # retry-loop granularity in rows (straggler early-exit)
     # refs:
     elems_ref,      # SMEM (E, 8)
     scal_ref,       # SMEM (4,): origin_shift, dz0, seed, _pad
@@ -189,78 +190,90 @@ def _raytraced_kernel(
     origin_shift = scal_ref[0]
     dz0 = scal_ref[1]
 
-    fx = ox_ref[:]
-    fy = oy_ref[:]
-    fz = jnp.zeros_like(fx) + origin_shift
-    ms = ms_ref[:]
-    trn = tr_ref[:]
-    sn = sin_ref[:]
-    cs = cos_ref[:]
-    tries_in = tries_ref[:]
+    tile_rows = ox_ref.shape[0]
+    n_sub = max(1, tile_rows // max(1, sub_rows))
 
-    def attempt(u1, u2):
-        lx, ly = _concentric(u1, u2)
-        ax = lx * ms + trn
-        ay = ly * ms
-        tx = ax * cs - ay * sn
-        ty = ax * sn + ay * cs
-        return _trace_block(
-            elems_ref, n_elems, fx, fy, fz, tx - fx, ty - fy,
-            jnp.zeros_like(fx) + dz0,
-        )
+    # The retry while-loop can run per sub-chunk of the tile (finer
+    # straggler early-exit), but measured on v5e the per-while overhead
+    # outweighs the saved masked rounds (sub_rows=8: 77M rays/s vs
+    # sub_rows=256: 120M).  Default is therefore one loop per tile.
+    for s in range(n_sub):
+        sl = pl.ds(s * sub_rows, sub_rows)
+        fx = ox_ref[sl, :]
+        fy = oy_ref[sl, :]
+        fz = jnp.zeros_like(fx) + origin_shift
+        ms = ms_ref[sl, :]
+        trn = tr_ref[sl, :]
+        sn = sin_ref[sl, :]
+        cs = cos_ref[sl, :]
+        tries_in = tries_ref[sl, :]
 
-    if skip_initial:
-        zero = jnp.zeros_like(fx)
-        ox, oy, oz, dx, dy, dz = fx, fy, fz, zero, zero, zero
-        ok_i = jnp.zeros_like(fx, dtype=jnp.int32)
-        tir_count = jnp.zeros_like(fx, dtype=jnp.int32)
-    else:
-        # attempt #0 from the caller's uniforms; consumes no retry
-        ox, oy, oz, dx, dy, dz, ok, tir0 = attempt(u1_ref[:], u2_ref[:])
-        # loop-carried masks are int32: Mosaic has no i1 vector selects
-        ok_i = ok.astype(jnp.int32)
-        tir_count = tir0.astype(jnp.int32)
-    tries = tries_in
+        def attempt(u1, u2, fx=fx, fy=fy, fz=fz, ms=ms, trn=trn, sn=sn, cs=cs):
+            lx, ly = _concentric(u1, u2)
+            ax = lx * ms + trn
+            ay = ly * ms
+            tx = ax * cs - ay * sn
+            ty = ax * sn + ay * cs
+            return _trace_block(
+                elems_ref, n_elems, fx, fy, fz, tx - fx, ty - fy,
+                jnp.zeros_like(fx) + dz0,
+            )
 
-    def cond(carry):
-        rnd, _, _, _, _, _, _, ok_i, _, _ = carry
-        return (rnd <= n_rounds) & jnp.any(
-            (ok_i == 0) & (tries_in + rnd <= max_total)
-        )
+        if skip_initial:
+            zero = jnp.zeros_like(fx)
+            ox, oy, oz, dx, dy, dz = fx, fy, fz, zero, zero, zero
+            ok_i = jnp.zeros_like(fx, dtype=jnp.int32)
+            tir_count = jnp.zeros_like(fx, dtype=jnp.int32)
+        else:
+            # attempt #0 from the caller's uniforms; consumes no retry
+            ox, oy, oz, dx, dy, dz, ok, tir0 = attempt(u1_ref[sl, :], u2_ref[sl, :])
+            # loop-carried masks are int32: Mosaic has no i1 vector selects
+            ok_i = ok.astype(jnp.int32)
+            tir_count = tir0.astype(jnp.int32)
+        tries = tries_in
 
-    def body(carry):
-        rnd, ox, oy, oz, dx, dy, dz, ok_i, tries, tir_count = carry
-        u1 = _uniform_from_bits(fx.shape)
-        u2 = _uniform_from_bits(fx.shape)
-        nox, noy, noz, ndx, ndy, ndz, nok, ntir = attempt(u1, u2)
-        pending = (ok_i == 0) & (tries_in + rnd <= max_total)
-        ox = jnp.where(pending, nox, ox)
-        oy = jnp.where(pending, noy, oy)
-        oz = jnp.where(pending, noz, oz)
-        dx = jnp.where(pending, ndx, dx)
-        dy = jnp.where(pending, ndy, dy)
-        dz = jnp.where(pending, ndz, dz)
-        tries = jnp.where(pending, tries_in + rnd, tries)
-        tir_count = tir_count + (pending & ntir).astype(jnp.int32)
-        ok_i = jnp.where(pending, nok.astype(jnp.int32), ok_i)
-        return rnd + 1, ox, oy, oz, dx, dy, dz, ok_i, tries, tir_count
+        def cond(carry, tries_in=tries_in):
+            rnd = carry[0]
+            return (rnd <= n_rounds) & jnp.any(
+                (carry[7] == 0) & (tries_in + rnd <= max_total)
+            )
 
-    if n_rounds > 0:
-        (_, ox, oy, oz, dx, dy, dz, ok_i, tries, tir_count) = jax.lax.while_loop(
-            cond, body,
-            (jnp.int32(1), ox, oy, oz, dx, dy, dz, ok_i, tries, tir_count),
-        )
+        def body(carry, attempt=attempt, tries_in=tries_in, shape=fx.shape):
+            rnd, ox, oy, oz, dx, dy, dz, ok_i, tries, tir_count = carry
+            u1 = _uniform_from_bits(shape)
+            u2 = _uniform_from_bits(shape)
+            nox, noy, noz, ndx, ndy, ndz, nok, ntir = attempt(u1, u2)
+            pending = (ok_i == 0) & (tries_in + rnd <= max_total)
+            ox = jnp.where(pending, nox, ox)
+            oy = jnp.where(pending, noy, oy)
+            oz = jnp.where(pending, noz, oz)
+            dx = jnp.where(pending, ndx, dx)
+            dy = jnp.where(pending, ndy, dy)
+            dz = jnp.where(pending, ndz, dz)
+            tries = jnp.where(pending, tries_in + rnd, tries)
+            tir_count = tir_count + (pending & ntir).astype(jnp.int32)
+            ok_i = jnp.where(pending, nok.astype(jnp.int32), ok_i)
+            return rnd + 1, ox, oy, oz, dx, dy, dz, ok_i, tries, tir_count
 
-    # flip (zoic.cpp:1960-1961)
-    out_ox[:] = -ox
-    out_oy[:] = -oy
-    out_oz[:] = -oz
-    out_dx[:] = -dx
-    out_dy[:] = -dy
-    out_dz[:] = -dz
-    out_tries[:] = tries
-    out_tir[:] = tir_count
-    out_ok[:] = ok_i
+        if n_rounds > 0:
+            (_, ox, oy, oz, dx, dy, dz, ok_i, tries, tir_count) = (
+                jax.lax.while_loop(
+                    cond, body,
+                    (jnp.int32(1), ox, oy, oz, dx, dy, dz, ok_i, tries,
+                     tir_count),
+                )
+            )
+
+        # flip (zoic.cpp:1960-1961)
+        out_ox[sl, :] = -ox
+        out_oy[sl, :] = -oy
+        out_oz[sl, :] = -oz
+        out_dx[sl, :] = -dx
+        out_dy[sl, :] = -dy
+        out_dz[sl, :] = -dz
+        out_tries[sl, :] = tries
+        out_tir[sl, :] = tir_count
+        out_ok[sl, :] = ok_i
 
 
 def _pad_rows(a: Array, rows: int) -> Array:
@@ -453,6 +466,7 @@ def _raytraced_call(
     skip_initial: bool,
     tile_rows: int,
     interpret: bool,
+    sub_rows: int = DEF_TILE_ROWS,
 ):
     """One padded pallas_call over flat [B] arrays.  Returns
     (origin[B,3], dir[B,3], tries[B], tir[B], ok[B])."""
@@ -502,7 +516,7 @@ def _raytraced_call(
     ] + [jax.ShapeDtypeStruct((total_rows, LANES), jnp.int32) for _ in range(3)]
 
     kernel = functools.partial(
-        _raytraced_kernel, n_elems, n_rounds, max_total, skip_initial
+        _raytraced_kernel, n_elems, n_rounds, max_total, skip_initial, sub_rows
     )
     outs = pl.pallas_call(
         kernel,
@@ -527,7 +541,7 @@ def _raytraced_call(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_tries", "tile_rows", "interpret")
+    jax.jit, static_argnames=("max_tries", "tile_rows", "interpret", "sub_rows")
 )
 def raytraced_fused(
     lens: LensSystem,
@@ -545,6 +559,7 @@ def raytraced_fused(
     max_tries: int,
     tile_rows: int = DEF_TILE_ROWS,
     interpret: bool = False,
+    sub_rows: int = DEF_TILE_ROWS,
 ) -> Tuple[Array, Array, Array, Array]:
     """Fused raytraced camera-ray generation (non-bokeh aperture sampling),
     single launch: the whole retry budget runs in-kernel.
@@ -566,6 +581,7 @@ def raytraced_fused(
         skip_initial=False,
         tile_rows=tile_rows,
         interpret=interpret,
+        sub_rows=sub_rows,
     )
     return origin, direction, tries, tir
 
