@@ -1,0 +1,90 @@
+"""Exit-pupil LUT properties (reference: exitPupilLUT zoic.cpp:1391-1452,
+shaping zoic.cpp:1889-1924)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import zoic_tpu as zt
+from zoic_tpu import pupil
+from zoic_tpu.diag import pupilplot
+
+
+@pytest.fixture(scope="module")
+def lens():
+    cfg = zt.CameraConfig(
+        lens_model=zt.LensModel.RAYTRACED,
+        lens_data_path=zt.data.lens_path("double_gauss_f2.0"),
+        focal_length=5.0, fstop=2.0, focal_distance=100.0,
+        lut_bounds_samples=30_000,
+    )
+    return zt.compile_camera(cfg).lens
+
+
+def test_lut_shape_and_keys(lens):
+    lut = lens.lut
+    assert lut.keys.shape == (32,)
+    # keys are i * filmWidth/32 (zoic.cpp:1393-1399)
+    np.testing.assert_allclose(
+        np.asarray(lut.keys), np.arange(32) * (4.0 / 32), rtol=1e-6
+    )
+    assert np.all(np.asarray(lut.max_scale) >= 0)
+
+
+def test_lut_cover_contains_true_pupil(lens):
+    """The shaped sampling disk must contain the true exit pupil at every
+    film radius — otherwise resampling would bias the accepted-ray
+    distribution (the x1.05 margin exists for this, zoic.cpp:1463)."""
+    for i, fxy in enumerate([(0.0, 0.0), (0.9, 0.0), (0.0, 1.2), (1.3, 1.3)]):
+        cov = pupilplot.coverage(lens, fxy, jax.random.PRNGKey(i), 6000)
+        assert cov >= 0.999, f"film {fxy}: coverage {cov}"
+
+
+def test_lookup_interpolates_between_keys(lens):
+    lut = lens.lut
+    s0, c0 = pupil.lut_lookup(lut, jnp.float32(0.125))   # exactly key 1
+    s_mid, c_mid = pupil.lut_lookup(lut, jnp.float32(0.0625))  # between 0 and 1
+    lo = min(float(lut.max_scale[0]), float(lut.max_scale[1]))
+    hi = max(float(lut.max_scale[0]), float(lut.max_scale[1]))
+    assert lo * 1.05 - 1e-6 <= float(s_mid) <= hi * 1.05 + 1e-6
+    assert float(s0) == pytest.approx(float(lut.max_scale[1]) * 1.05, rel=1e-6)
+
+
+def test_lookup_clamps_out_of_range(lens):
+    lut = lens.lut
+    s_hi, _ = pupil.lut_lookup(lut, jnp.float32(99.0))
+    assert float(s_hi) == pytest.approx(float(lut.max_scale[31]) * 1.05, rel=1e-6)
+    s_zero, c_zero = pupil.lut_lookup(lut, jnp.float32(0.0))
+    assert float(s_zero) == pytest.approx(float(lut.max_scale[0]) * 1.05, rel=1e-6)
+
+
+def test_lut_vs_naive_acceptance(lens):
+    """LUT shaping must raise first-attempt acceptance dramatically over
+    naive whole-element targeting (the LUT's entire reason to exist,
+    zoic.cpp:1872 comment)."""
+    import zoic_tpu.trace as trace
+    from zoic_tpu.optics import V3
+    from zoic_tpu.sampling import concentric_disk_sample
+
+    n = 20_000
+    u = jax.random.uniform(jax.random.PRNGKey(9), (4, n), dtype=jnp.float32)
+    ox = (u[0] * 2 - 1) * 1.8
+    oy = (u[1] * 2 - 1) * 1.2
+    oz = jnp.zeros(n) + lens.origin_shift
+    lx, ly = concentric_disk_sample(u[2], u[3])
+
+    # naive target (zoic.cpp:1874-1876)
+    dxn = lx * lens.aperture[0] - ox
+    dyn = ly * lens.aperture[0] - oy
+    dz = jnp.zeros(n) - lens.thickness[0]
+    ok_naive = trace.trace_stack(lens, V3(ox, oy, oz), V3(dxn, dyn, dz)).ok
+
+    px, py = pupil.shape_sample(lens.lut, lx, ly, ox, oy)
+    ok_lut = trace.trace_stack(
+        lens, V3(ox, oy, oz), V3(px - ox, py - oy, dz)
+    ).ok
+    rate_naive = float(jnp.mean(ok_naive))
+    rate_lut = float(jnp.mean(ok_lut))
+    assert rate_lut > 4 * rate_naive
+    assert rate_lut > 0.4

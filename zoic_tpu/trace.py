@@ -96,7 +96,9 @@ def trace_stack(
     ones = jnp.ones_like(origin.x, dtype=bool)
     init = (origin, direction, ones, jnp.zeros_like(ones))
     elems = (lens.center, lens.curvature, lens.aperture, lens.ior, ior_next, is_aperture)
-    (o, d, active, tir_any), tapes = jax.lax.scan(body, init, elems)
+    # full unroll: E is small (<=12) and the fused element chain avoids a
+    # whole-batch HBM round-trip of the carry per element
+    (o, d, active, tir_any), tapes = jax.lax.scan(body, init, elems, unroll=True)
 
     if record_tape:
         return TraceResult(o, d, active, tir_any, tapes[0], tapes[1])
