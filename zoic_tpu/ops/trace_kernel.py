@@ -45,7 +45,10 @@ from ..system import LensSystem
 Array = jnp.ndarray
 
 LANES = 128
-DEF_TILE_ROWS = 256  # (256, 128) f32 tiles -> 128KB per ray-array in VMEM
+DEF_TILE_ROWS = 64  # (64, 128) tiles: measured sweet spot on v5e — small
+# enough that a tile's retry loop exits soon after its slowest ray resolves
+# (grid steps pipeline their DMA), large enough to amortize per-step
+# overhead (tile 16: 126M, 32: 186M, 64: 192M, 128: 148M, 256: 120M rays/s)
 
 
 def _pack_elements(lens: LensSystem) -> Array:
