@@ -168,12 +168,36 @@ def _trace_block(elems_ref, n_elems, ox, oy, oz, dx, dy, dz):
     return ox, oy, oz, dx, dy, dz, active, tir_any
 
 
-def _uniform_from_bits(shape):
-    """U[0,1) from the in-kernel PRNG — the counted-key analog of the
-    reference's ``xor128() / 2^32`` (zoic.cpp:1806).  Signed-int32 bits map
-    to [-0.5, 0.5); the +0.5 recenters to [0, 1)."""
-    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
-    return bits.astype(jnp.float32) * jnp.float32(2.0**-32) + jnp.float32(0.5)
+def _lane_ids(shape, row_base):
+    """Globally unique int32 id per ray lane: (row_base + row) * 128 + lane."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return (row_base + rows) * LANES + lanes
+
+
+def _hash_uniform(ids, seed, rnd, salt):
+    """Counter-based U[0,1): murmur3-style integer mixer over
+    (ray id, seed, retry round, stream salt).
+
+    The counted-key analog of the reference's shared ``xor128() / 2^32``
+    stream (zoic.cpp:1806) — deterministic, stateless, and identical across
+    compiled TPU and interpreter runs (the hardware PRNG primitive is a
+    zero stub under ``InterpretParams``, which is why this is a hash and
+    not ``pltpu.prng_random_bits``).
+    """
+    h = (
+        ids.astype(jnp.uint32) * jnp.uint32(2654435761)
+        + seed.astype(jnp.uint32)
+        + (rnd.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
+        + jnp.uint32(salt)
+    )
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    # 24-bit value via int32: Mosaic has no uint32->f32 conversion
+    return (h >> 8).astype(jnp.int32).astype(jnp.float32) * jnp.float32(2.0**-24)
 
 
 def _raytraced_kernel(
@@ -188,7 +212,7 @@ def _raytraced_kernel(
     ox_ref, oy_ref, u1_ref, u2_ref, ms_ref, tr_ref, sin_ref, cos_ref, tries_ref,
     out_ox, out_oy, out_oz, out_dx, out_dy, out_dz, out_tries, out_tir, out_ok,
 ):
-    pltpu.prng_seed(scal_ref[2].astype(jnp.int32) + pl.program_id(0) * 7919)
+    seed = scal_ref[2].astype(jnp.int32)
 
     origin_shift = scal_ref[0]
     dz0 = scal_ref[1]
@@ -241,10 +265,12 @@ def _raytraced_kernel(
                 (carry[7] == 0) & (tries_in + rnd <= max_total)
             )
 
-        def body(carry, attempt=attempt, tries_in=tries_in, shape=fx.shape):
+        ids = _lane_ids(fx.shape, pl.program_id(0) * tile_rows + s * sub_rows)
+
+        def body(carry, attempt=attempt, tries_in=tries_in, ids=ids):
             rnd, ox, oy, oz, dx, dy, dz, ok_i, tries, tir_count = carry
-            u1 = _uniform_from_bits(shape)
-            u2 = _uniform_from_bits(shape)
+            u1 = _hash_uniform(ids, seed, rnd, 0x11111111)
+            u2 = _hash_uniform(ids, seed, rnd, 0x22222222)
             nox, noy, noz, ndx, ndy, ndz, nok, ntir = attempt(u1, u2)
             pending = (ok_i == 0) & (tries_in + rnd <= max_total)
             ox = jnp.where(pending, nox, ox)
@@ -293,7 +319,7 @@ def _thinlens_kernel(
 ):
     """Fused THINLENS branch (zoic.cpp:1771-1848): pinhole direction, DOF
     refocus, empirical-vignette retry rounds — one VMEM-resident kernel."""
-    pltpu.prng_seed(scal_ref[5].astype(jnp.int32) + pl.program_id(0) * 7919)
+    seed = scal_ref[5].astype(jnp.int32)
     tan_fov = scal_ref[0]
     ap_radius = scal_ref[1]
     focal_dist = scal_ref[2]
@@ -341,6 +367,7 @@ def _thinlens_kernel(
 
     if has_ov:
         ok_i = ok.astype(jnp.int32)
+        ids = _lane_ids(sx.shape, pl.program_id(0) * sx.shape[0])
 
         def cond(carry):
             rnd = carry[0]
@@ -348,8 +375,8 @@ def _thinlens_kernel(
 
         def body(carry):
             rnd, lx, ly, dx, dy, dz, ok_i, tries = carry
-            u1 = _uniform_from_bits(sx.shape)
-            u2 = _uniform_from_bits(sx.shape)
+            u1 = _hash_uniform(ids, seed, rnd, 0x11111111)
+            u2 = _hash_uniform(ids, seed, rnd, 0x22222222)
             nlx, nly, ndx, ndy, ndz, nok = attempt(u1, u2)
             pending = ok_i == 0
             lx = jnp.where(pending, nlx, lx)
