@@ -1,7 +1,6 @@
 """Property tests for the geometric-optics primitives
 (reference semantics: src/zoic.cpp:973-1049, 661-704)."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

@@ -29,7 +29,7 @@ def _cfg(impl, lut=True, **kw):
 @pytest.fixture(scope="module")
 def samples():
     rng = np.random.default_rng(5)
-    n = 4096
+    n = 2048
     return tuple(
         jnp.asarray(a.astype(np.float32))
         for a in (

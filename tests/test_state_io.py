@@ -3,7 +3,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 import zoic_tpu as zt
 from zoic_tpu import render

@@ -12,7 +12,7 @@ also returned for quantitative coverage assertions in tests.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -24,6 +24,9 @@ from ..sampling import concentric_disk_sample
 from ..system import LensSystem
 
 Array = jnp.ndarray
+
+# jitted trace entry (eager per-op dispatch dominates otherwise)
+_trace_jit = jax.jit(lambda lens, o, d: trace.trace_stack(lens, o, d))
 
 
 def ground_truth_pupil(
@@ -44,7 +47,7 @@ def ground_truth_pupil(
     oy = jnp.full((n_samples,), film_xy[1], jnp.float32)
     oz = jnp.zeros((n_samples,), jnp.float32) + lens.origin_shift
     d = V3(px - ox, py - oy, jnp.zeros((n_samples,)) - lens.thickness[0])
-    res = trace.trace_stack(lens, V3(ox, oy, oz), d)
+    res = _trace_jit(lens, V3(ox, oy, oz), d)
     ok = np.asarray(res.ok)
     return np.stack([np.asarray(px)[ok], np.asarray(py)[ok]], -1)
 
@@ -91,6 +94,8 @@ def render_comparison(
     sensor_width: float = 3.6,
     seed: int = 0,
     dpi: int = 110,
+    n_gt: int = 4000,
+    n_ss: int = 2000,
 ) -> None:
     """(2*film_grid+1)^2 panel plot: GT pupil (blue), LUT samples (orange),
     overlay — the reference's three-section comparison image."""
@@ -108,8 +113,8 @@ def render_comparison(
             fx = (i / film_grid) * (sensor_width * 0.5)
             fy = (j / film_grid) * (sensor_width * 0.5)
             key, k1, k2 = jax.random.split(key, 3)
-            gt = ground_truth_pupil(lens, (fx, fy), k1, 4000)
-            ss = lut_samples(lens, (fx, fy), k2, 2000)
+            gt = ground_truth_pupil(lens, (fx, fy), k1, n_gt)
+            ss = lut_samples(lens, (fx, fy), k2, n_ss)
             if len(gt):
                 ax.plot(gt[:, 0], gt[:, 1], ".", ms=0.7, color="#3377cc", alpha=0.5)
             ax.plot(ss[:, 0], ss[:, 1], ".", ms=0.7, color="#e08833", alpha=0.35)

@@ -9,13 +9,12 @@ converts it to the dump's segment convention.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .. import pupil, trace
+from .. import trace
 from ..config import CameraConfig
 from ..optics import V3
 from ..system import CameraState

@@ -11,8 +11,6 @@ reference's DCC workflow gets identical configurations.
 
 from __future__ import annotations
 
-from typing import Optional
-
 from .config import CameraConfig, LensModel
 
 

@@ -21,7 +21,6 @@ deterministic for a given key, statistically equivalent.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Callable, NamedTuple, Tuple
 
 import jax
@@ -29,7 +28,6 @@ import jax.numpy as jnp
 
 from .. import bokeh as bokeh_mod
 from .. import sampling
-from ..system import BokehImage, RayStats
 
 Array = jnp.ndarray
 

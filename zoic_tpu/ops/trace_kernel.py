@@ -9,8 +9,8 @@ single fused TPU kernels over (rows, 128) ray tiles:
   formulation pays a full HBM round-trip of the ray state per element
   (~25ms/M rays measured on v5e); the fused kernel reads each ray's inputs
   once and writes outputs once;
-* the resample-retry loop runs in-kernel with the TPU PRNG
-  (``pltpu.prng_random_bits``) and a whole-block early exit: a block whose
+* the resample-retry loop runs in-kernel with a counter-hash PRNG
+  (:func:`_hash_uniform`) and a whole-block early exit: a block whose
   rays have all succeeded stops iterating (the batched analog of the
   reference's per-ray early exit at zoic.cpp:1879);
 * aperture-sample shaping (naive first-element or exit-pupil LUT,
@@ -31,11 +31,10 @@ gathers); only non-bokeh configs use the fused retry kernel.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
