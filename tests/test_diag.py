@@ -63,3 +63,20 @@ def test_header_matches_reference_field_layout(cam):
                   "APERTUREDISTANCE{", "APERTURE{", "APERTUREMAX{",
                   "FOCUSDISTANCE{", "IMAGEDISTANCE{", "SENSORHEIGHT{"]:
         assert block in hdr
+
+
+def test_aperture_selftest_dump_round_trip(tmp_path, cam):
+    from zoic_tpu.diag import dump as dump_mod
+
+    p = tmp_path / "testApertures.zoic"
+    pupilplot.write_selftest_dump(
+        cam.state.lens, str(p), film_grid=1, n_gt=500, n_ss=300
+    )
+    gt, ss = dump_mod.parse_aperture_test(str(p))
+    assert len(gt) == 9 and len(ss) == 9
+    # every SS row is fully populated; GT rows may be empty at corners
+    assert all(r.shape == (300, 2) for r in ss)
+    center = gt[4]  # film (0,0)
+    # GT rows target the whole first element at 2x diameter over-cover
+    # (zoic.cpp:1374-1376): only ~10-15% of probes survive even on-axis
+    assert len(center) > 40

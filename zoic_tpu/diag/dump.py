@@ -92,3 +92,50 @@ def parse(text: str) -> Dict[str, np.ndarray]:
 def parse_file(path: str) -> Dict[str, np.ndarray]:
     with open(path) as f:
         return parse(f.read())
+
+
+def write_thinlens(path: str, segments: np.ndarray) -> None:
+    """Thin-lens dump: ``LENSMODEL{THINLENS}`` + RAYS only, as the reference
+    writes for the THINLENS branch (zoic.cpp:1600-1604, 1833-1841)."""
+    with open(path, "w") as f:
+        f.write("LENSMODEL{THINLENS}\nRAYS{")
+        flat = np.asarray(segments, np.float64).reshape(-1)
+        f.write(" ".join(f"{v:.10f}" for v in flat))
+        f.write(" }" if flat.size else "}")
+
+
+def write_aperture_test(
+    path: str,
+    gt_points: list,
+    ss_points: list,
+) -> None:
+    """``testApertures.zoic`` format (testAperturesTruth zoic.cpp:1354-1388,
+    testAperturesLUT zoic.cpp:1458-1537): per film position one ``GT:`` row
+    of surviving first-element points and one ``SS:`` row of LUT-shaped
+    samples, x y pairs space-separated.  ``gt_points``/``ss_points`` are
+    lists of [N_i, 2] arrays, one per film grid position."""
+    with open(path, "w") as f:
+        for pts in gt_points:
+            f.write("GT: ")
+            f.write(" ".join(f"{v:g}" for v in np.asarray(pts).reshape(-1)))
+            f.write("\n")
+        for pts in ss_points:
+            f.write("SS: ")
+            f.write(" ".join(f"{v:g}" for v in np.asarray(pts).reshape(-1)))
+            f.write("\n")
+
+
+def parse_aperture_test(path: str):
+    """Parse a ``testApertures.zoic`` file (ours or the reference's) into
+    (gt_list, ss_list) of [N, 2] arrays."""
+    gt, ss = [], []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith("GT:"):
+                vals = np.array([float(v) for v in line[3:].split()])
+                gt.append(vals.reshape(-1, 2) if vals.size else np.empty((0, 2)))
+            elif line.startswith("SS:"):
+                vals = np.array([float(v) for v in line[3:].split()])
+                ss.append(vals.reshape(-1, 2) if vals.size else np.empty((0, 2)))
+    return gt, ss

@@ -126,3 +126,36 @@ def render_comparison(
     fig.tight_layout()
     fig.savefig(out_path)
     plt.close(fig)
+
+
+def write_selftest_dump(
+    lens: LensSystem,
+    path: str,
+    film_grid: int = 3,
+    sensor_width: float = 3.6,
+    n_gt: int = 10_000,
+    n_ss: int = 5_000,
+    seed: int = 0,
+) -> None:
+    """Produce a ``testApertures.zoic`` artifact exactly like the reference's
+    aperture self-test (testAperturesTruth zoic.cpp:1354-1388 writes GT rows
+    over a (2*film_grid+1)^2 film grid at 3.6*0.5 spacing; testAperturesLUT
+    zoic.cpp:1458-1537 writes SS rows) — interchange format with the
+    reference's triangleSamplingDraw.py renderer."""
+    from . import dump as dump_mod
+
+    key = jax.random.PRNGKey(seed)
+    gt_rows, ss_rows = [], []
+    for i in range(-film_grid, film_grid + 1):
+        for j in range(-film_grid, film_grid + 1):
+            fx = (i / film_grid) * (sensor_width * 0.5)
+            fy = (j / film_grid) * (sensor_width * 0.5)
+            key, k1 = jax.random.split(key)
+            gt_rows.append(ground_truth_pupil(lens, (fx, fy), k1, n_gt))
+    for i in range(-film_grid, film_grid + 1):
+        for j in range(-film_grid, film_grid + 1):
+            fx = (i / film_grid) * (sensor_width * 0.5)
+            fy = (j / film_grid) * (sensor_width * 0.5)
+            key, k2 = jax.random.split(key)
+            ss_rows.append(lut_samples(lens, (fx, fy), k2, n_ss))
+    dump_mod.write_aperture_test(path, gt_rows, ss_rows)
