@@ -88,3 +88,45 @@ def test_lut_vs_naive_acceptance(lens):
     rate_lut = float(jnp.mean(ok_lut))
     assert rate_lut > 4 * rate_naive
     assert rate_lut > 0.4
+
+
+@pytest.mark.parametrize("name", ["double_gauss_f2.0", "tessar_f2.8", "petzval_f1.25"])
+def test_profile_precheck_soundness(name):
+    """The pupil-profile bound must never reject a sample the trace would
+    accept — otherwise retry outcomes deviate from the reference.  (Same
+    cover-risk class as the reference's own x1.05 LUT margin; this test
+    hammers it with fresh MC.)"""
+    import zoic_tpu.trace as trace
+    from zoic_tpu.optics import V3
+    from zoic_tpu.sampling import concentric_disk_sample
+
+    info = zt.data.LENSES[name]
+    cfg = zt.CameraConfig(
+        lens_model=zt.LensModel.RAYTRACED,
+        lens_data_path=info.path,
+        focal_length=5.0, fstop=info.fstop, focal_distance=100.0,
+        lut_bounds_samples=20_000,
+    )
+    lens_p = zt.compile_camera(cfg).lens
+    assert lens_p.profile is not None
+
+    n = 20_000
+    for i, r in enumerate([0.0, 0.9, 1.8]):
+        u = jax.random.uniform(jax.random.PRNGKey(100 + i), (2, n))
+        lx, ly = concentric_disk_sample(u[0], u[1])
+        fx = jnp.full((n,), r)
+        fy = jnp.zeros((n,))
+        px, py = pupil.shape_sample(lens_p.lut, lx, ly, fx, fy)
+        oz = jnp.zeros((n,)) + lens_p.origin_shift
+        ok = np.asarray(
+            trace.trace_stack(
+                lens_p, V3(fx, fy, oz),
+                V3(px - fx, py - fy, jnp.zeros((n,)) - lens_p.thickness[0]),
+            ).ok
+        )
+        c0, c1, c2 = pupil.profile_lookup(lens_p.profile, jnp.float32(r))
+        rho = np.hypot(np.asarray(lx), np.asarray(ly))
+        cphi = np.where(rho > 0, np.asarray(lx) / np.maximum(rho, 1e-9), 1.0)
+        bound = float(c0) + float(c1) * cphi + float(c2) * (2 * cphi**2 - 1)
+        unsound = int((ok & (rho > bound)).sum())
+        assert unsound == 0, f"{name} r={r}: {unsound} accepted outside bound"

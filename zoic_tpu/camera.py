@@ -71,6 +71,14 @@ def compile_camera(
                 lens, lut_key, config.lut_film_samples, config.lut_bounds_samples
             )
             lens = dataclasses.replace(lens, lut=lut)
+        if config.pupil_precheck:
+            import dataclasses
+
+            import jax as _jax
+
+            prof_key = _jax.random.PRNGKey(1) if lut_key is None else _jax.random.fold_in(lut_key, 1)
+            profile = pupil.build_profile(lens, prof_key)
+            lens = dataclasses.replace(lens, profile=profile)
 
     f32 = jnp.float32
     return CameraState(

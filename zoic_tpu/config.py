@@ -79,6 +79,9 @@ class CameraConfig:
     # --- framework-side knobs (no reference equivalent) ---
     max_tries: int = 25                  # resample budget (zoic.cpp:1767)
     impl: str = "auto"                   # "auto" | "jnp" | "pallas"
+    # polar pupil pre-check: consume provably-failing tries without tracing
+    # (exact per-try outcomes; see PupilProfile / PARITY.md)
+    pupil_precheck: bool = True
     lut_film_samples: int = 32           # exitPupilLUT(ld, 32, ...) zoic.cpp:1692
     lut_bounds_samples: int = 100_000    # exitPupilLUT(ld, ..., 100000)
     debug: DebugOptions = dataclasses.field(default_factory=DebugOptions)

@@ -23,9 +23,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import CameraConfig
-from ..system import BokehImage, CameraState, LensSystem, PupilLUT
+from ..system import BokehImage, CameraState, LensSystem, PupilLUT, PupilProfile
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
 
 
 def _flatten(state: CameraState):
@@ -35,6 +35,7 @@ def _flatten(state: CameraState):
         "has_lens": state.lens is not None,
         "has_bokeh": state.bokeh is not None,
         "has_lut": state.lens is not None and state.lens.lut is not None,
+        "has_profile": state.lens is not None and state.lens.profile is not None,
         "aperture_element": (
             state.lens.aperture_element if state.lens is not None else None
         ),
@@ -75,9 +76,12 @@ def _skeleton(static: dict) -> CameraState:
     lut = (
         PupilLUT(z, z, z, z, z, z, z) if static["has_lut"] else None
     )
+    profile = (
+        PupilProfile(z, z, z, z) if static.get("has_profile") else None
+    )
     lens = (
         LensSystem(
-            z, z, z, z, z, z, z, z, z, z, z, z, z, lut,
+            z, z, z, z, z, z, z, z, z, z, z, z, z, lut, profile,
             aperture_element=static["aperture_element"],
         )
         if static["has_lens"]

@@ -194,12 +194,16 @@ def _create_rays_pallas(
     # lowers its 1M-element scatters near-serially (~10M elem/s measured).
     # The single-launch kernel with whole-block masked rounds wins until
     # compaction moves in-kernel.
-    kernel_fn = trace_kernel.raytraced_fused
-    origin, direction, tries, tir = kernel_fn(
+    profile_coeffs = None
+    if config.pupil_precheck and lens.profile is not None:
+        dist = jnp.abs(jnp.sqrt(ox * ox + oy * oy))
+        profile_coeffs = pupil.profile_lookup(lens.profile, dist)
+    origin, direction, tries, tir = trace_kernel.raytraced_fused(
         lens, sx, sy, lensx, lensy, *shaping,
         state.sensor_width, seed,
         max_tries=config.max_tries,
         interpret=jax.default_backend() == "cpu",
+        profile_coeffs=profile_coeffs,
     )
     weight, n_ok, n_vig = common.weight_and_stats(tries, config.max_tries)
     d_ody, d_ddy = common.fake_derivatives(tries, origin, direction)

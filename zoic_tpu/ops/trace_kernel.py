@@ -199,16 +199,21 @@ def _hash_uniform(ids, seed, rnd, salt):
     return (h >> 8).astype(jnp.int32).astype(jnp.float32) * jnp.float32(2.0**-24)
 
 
+PRECHECK_DRAWS = 4  # candidate draws per retry round in profile mode
+
+
 def _raytraced_kernel(
     n_elems: int,
     n_rounds: int,     # retry rounds to run in this kernel invocation
     max_total: int,    # global retry ceiling = max_tries + 1 (zoic.cpp:1767)
     skip_initial: bool,  # phase-B: no input-uniform attempt, all-PRNG rounds
     sub_rows: int,     # retry-loop granularity in rows (straggler early-exit)
+    use_profile: bool,  # polar pupil pre-check (PupilProfile) available
     # refs:
     elems_ref,      # SMEM (E, 8)
     scal_ref,       # SMEM (4,): origin_shift, dz0, seed, _pad
     ox_ref, oy_ref, u1_ref, u2_ref, ms_ref, tr_ref, sin_ref, cos_ref, tries_ref,
+    c0_ref, c1_ref, c2_ref,
     out_ox, out_oy, out_oz, out_dx, out_dy, out_dz, out_tries, out_tir, out_ok,
 ):
     seed = scal_ref[2].astype(jnp.int32)
@@ -233,6 +238,10 @@ def _raytraced_kernel(
         sn = sin_ref[sl, :]
         cs = cos_ref[sl, :]
         tries_in = tries_ref[sl, :]
+        if use_profile:
+            pc0 = c0_ref[sl, :]
+            pc1 = c1_ref[sl, :]
+            pc2 = c2_ref[sl, :]
 
         def attempt(u1, u2, fx=fx, fy=fy, fz=fz, ms=ms, trn=trn, sn=sn, cs=cs):
             lx, ly = _concentric(u1, u2)
@@ -261,25 +270,59 @@ def _raytraced_kernel(
         def cond(carry, tries_in=tries_in):
             rnd = carry[0]
             return (rnd <= n_rounds) & jnp.any(
-                (carry[7] == 0) & (tries_in + rnd <= max_total)
+                (carry[7] == 0) & (carry[8] < max_total)
             )
 
         ids = _lane_ids(fx.shape, pl.program_id(0) * tile_rows + s * sub_rows)
 
         def body(carry, attempt=attempt, tries_in=tries_in, ids=ids):
             rnd, ox, oy, oz, dx, dy, dz, ok_i, tries, tir_count = carry
-            u1 = _hash_uniform(ids, seed, rnd, 0x11111111)
-            u2 = _hash_uniform(ids, seed, rnd, 0x22222222)
-            nox, noy, noz, ndx, ndy, ndz, nok, ntir = attempt(u1, u2)
-            pending = (ok_i == 0) & (tries_in + rnd <= max_total)
-            ox = jnp.where(pending, nox, ox)
-            oy = jnp.where(pending, noy, oy)
-            oz = jnp.where(pending, noz, oz)
-            dx = jnp.where(pending, ndx, dx)
-            dy = jnp.where(pending, ndy, dy)
-            dz = jnp.where(pending, ndz, dz)
-            tries = jnp.where(pending, tries_in + rnd, tries)
-            tir_count = tir_count + (pending & ntir).astype(jnp.int32)
+            pending = (ok_i == 0) & (tries < max_total)
+            if not use_profile:
+                u1 = _hash_uniform(ids, seed, rnd, 0x11111111)
+                u2 = _hash_uniform(ids, seed, rnd, 0x22222222)
+                nox, noy, noz, ndx, ndy, ndz, nok, ntir = attempt(u1, u2)
+                consumed = pending.astype(jnp.int32)
+                merge = pending
+            else:
+                # Profile pre-check: a unit-disk candidate with
+                # rho > c0 + c1 cos(phi) + c2 cos(2 phi) provably fails the
+                # trace (build_profile's conservative bound), so up to
+                # PRECHECK_DRAWS failed tries are consumed per round for
+                # ~40 VPU ops each instead of a full trace.  The draw
+                # sequence and per-try outcomes are exactly the reference's
+                # (PARITY.md).
+                found = jnp.zeros_like(ok_i)
+                consumed = jnp.zeros_like(ok_i)
+                cand1 = jnp.zeros_like(fx)
+                cand2 = jnp.zeros_like(fx)
+                for j in range(PRECHECK_DRAWS):
+                    ctr = rnd * PRECHECK_DRAWS + j
+                    u1 = _hash_uniform(ids, seed, ctr, 0x11111111)
+                    u2 = _hash_uniform(ids, seed, ctr, 0x22222222)
+                    lx, ly = _concentric(u1, u2)
+                    rho2 = lx * lx + ly * ly
+                    rho = jnp.sqrt(rho2)
+                    cphi = lx / jnp.maximum(rho, 1e-9)
+                    bound = pc0 + pc1 * cphi + pc2 * (2.0 * cphi * cphi - 1.0)
+                    pass_j = rho <= bound
+                    can = pending & (found == 0) & (tries + consumed < max_total)
+                    consumed = consumed + can.astype(jnp.int32)
+                    take = can & pass_j
+                    cand1 = jnp.where(take, u1, cand1)
+                    cand2 = jnp.where(take, u2, cand2)
+                    found = jnp.where(take, 1, found)
+                nox, noy, noz, ndx, ndy, ndz, nok, ntir = attempt(cand1, cand2)
+                merge = pending & (found == 1)
+                nok = nok & (found == 1)
+            ox = jnp.where(merge, nox, ox)
+            oy = jnp.where(merge, noy, oy)
+            oz = jnp.where(merge, noz, oz)
+            dx = jnp.where(merge, ndx, dx)
+            dy = jnp.where(merge, ndy, dy)
+            dz = jnp.where(merge, ndz, dz)
+            tries = tries + jnp.where(pending, consumed, 0)
+            tir_count = tir_count + (merge & ntir).astype(jnp.int32)
             ok_i = jnp.where(pending, nok.astype(jnp.int32), ok_i)
             return rnd + 1, ox, oy, oz, dx, dy, dz, ok_i, tries, tir_count
 
@@ -489,6 +532,7 @@ def _raytraced_call(
     cos_t: Array,
     tries_in: Array,
     seed: Array,
+    profile_coeffs=None,   # (c0, c1, c2) per-ray arrays, or None
     *,
     n_rounds: int,
     max_total: int,
@@ -518,10 +562,16 @@ def _raytraced_call(
 
     # pad uniforms with 0.5 (center sample -> benign trace for pad lanes);
     # pad tries with max_total+1 so pad lanes never participate in rounds
+    use_profile = profile_coeffs is not None
+    if use_profile:
+        pc0, pc1, pc2 = profile_coeffs
+    else:
+        pc0 = pc1 = pc2 = jnp.zeros_like(ox)
     ins = [
         prep(ox), prep(oy), prep(u1, 0.5), prep(u2, 0.5),
         prep(max_scale), prep(translation), prep(sin_t), prep(cos_t, 1.0),
         prep_i(tries_in, max_total + 1),
+        prep(pc0, 2.0), prep(pc1), prep(pc2),
     ]
 
     elems = _pack_elements(lens)
@@ -545,14 +595,15 @@ def _raytraced_call(
     ] + [jax.ShapeDtypeStruct((total_rows, LANES), jnp.int32) for _ in range(3)]
 
     kernel = functools.partial(
-        _raytraced_kernel, n_elems, n_rounds, max_total, skip_initial, sub_rows
+        _raytraced_kernel, n_elems, n_rounds, max_total, skip_initial,
+        sub_rows, use_profile,
     )
     outs = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
-            in_specs=[blk] * 9,
+            in_specs=[blk] * 12,
             out_specs=[blk] * 9,
         ),
         out_shape=out_shape,
@@ -589,6 +640,7 @@ def raytraced_fused(
     tile_rows: int = DEF_TILE_ROWS,
     interpret: bool = False,
     sub_rows: int = DEF_TILE_ROWS,
+    profile_coeffs=None,
 ) -> Tuple[Array, Array, Array, Array]:
     """Fused raytraced camera-ray generation (non-bokeh aperture sampling),
     single launch: the whole retry budget runs in-kernel.
@@ -604,7 +656,7 @@ def raytraced_fused(
     tries0 = jnp.zeros_like(sx, dtype=jnp.int32)
     origin, direction, tries, tir, _ = _raytraced_call(
         lens, ox, oy, u1, u2, max_scale, translation, sin_t, cos_t, tries0,
-        seed,
+        seed, profile_coeffs,
         n_rounds=max_tries + 1 if max_tries >= 0 else 0,
         max_total=max_tries + 1,
         skip_initial=False,

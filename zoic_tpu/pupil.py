@@ -161,3 +161,99 @@ def shape_sample(
     lx = lens_x * max_scale + translation
     ly = lens_y * max_scale
     return lx * c - ly * s, lx * s + ly * c
+
+
+@functools.partial(jax.jit, static_argnames=("n_angles", "n_samples"))
+def build_profile(
+    lens: LensSystem,
+    key: Array,
+    n_angles: int = 16,
+    n_samples: int = 50_000,
+) -> "PupilProfile":
+    """Fit a conservative polar outer bound of the accepted-sample support
+    in unit-disk space, per LUT film-radius key.
+
+    No reference equivalent: this is a TPU-native retry accelerator.  A
+    unit-disk candidate whose radius exceeds the bound at its azimuth
+    cannot survive the trace, so the fused kernel can consume such failed
+    tries without tracing (ops/trace_kernel.py inner candidate loop).  The
+    bound errs outward by construction (per-bin max + additive fit excess +
+    the reference's own x1.05-style margin), so acceptance outcomes are
+    unchanged up to the same Monte-Carlo cover-tail risk the reference
+    takes at zoic.cpp:1463.
+
+    Uses the active sampling cover (LUT shaping when present, else naive
+    first-element targeting) so the profile matches runtime candidates.
+    """
+    from .system import PupilProfile
+
+    lut = lens.lut
+    n_keys = lut.keys.shape[0] if lut is not None else 32
+    keys = (
+        lut.keys
+        if lut is not None
+        else jnp.arange(n_keys, dtype=jnp.float32) * jnp.float32(FILM_WIDTH / 32)
+    )
+
+    u = jax.random.uniform(key, (2, n_keys, n_samples), dtype=jnp.float32)
+    # uniform over the unit disk (support coverage, not importance)
+    rho = jnp.sqrt(u[0])
+    phi = (u[1] * 2.0 - 1.0) * jnp.pi
+    lx = rho * jnp.cos(phi)
+    ly = rho * jnp.sin(phi)
+
+    fx = jnp.broadcast_to(keys[:, None], lx.shape)
+    fy = jnp.zeros_like(fx)
+    if lut is not None:
+        ms, trn = lut_lookup(lut, fx)
+        px = lx * ms + trn
+        py = ly * ms
+    else:
+        px = lx * lens.aperture[0]
+        py = ly * lens.aperture[0]
+
+    oz = jnp.zeros_like(fx) + lens.origin_shift
+    d = V3(px - fx, py - fy, jnp.zeros_like(fx) - lens.thickness[0])
+    ok = trace.trace_stack(lens, V3(fx, fy, oz), d).ok
+
+    # per-angle-bin max accepted radius
+    bin_idx = jnp.clip(
+        ((phi + jnp.pi) / (2.0 * jnp.pi) * n_angles).astype(jnp.int32),
+        0,
+        n_angles - 1,
+    )
+    onehot = jax.nn.one_hot(bin_idx, n_angles, dtype=jnp.float32)  # [K,S,A]
+    rho_ok = jnp.where(ok, rho, 0.0)
+    rho_max = jnp.max(rho_ok[:, :, None] * onehot, axis=1)  # [K, A]
+
+    # least-squares fit rho(phi) ~ c0 + c1 cos phi + c2 cos 2phi over bins
+    centers = (jnp.arange(n_angles) + 0.5) / n_angles * 2.0 * jnp.pi - jnp.pi
+    basis = jnp.stack(
+        [jnp.ones_like(centers), jnp.cos(centers), jnp.cos(2.0 * centers)], -1
+    )  # [A, 3]
+    coef, *_ = jnp.linalg.lstsq(basis, rho_max.T)  # [3, K]
+    fit = basis @ coef  # [A, K]
+    # conservative: shift up by the worst under-fit, then the x1.05 margin
+    excess = jnp.max(rho_max.T - fit, axis=0)  # [K]
+    c0 = (coef[0] + jnp.maximum(excess, 0.0) + 0.02) * 1.05
+    c1 = coef[1] * 1.05
+    c2 = coef[2] * 1.05
+    return PupilProfile(keys=keys, c0=c0, c1=c1, c2=c2)
+
+
+def profile_lookup(profile, dist: Array):
+    """Per-ray (c0, c1, c2) interpolated over film radius — same
+    uniform-key bracketing as :func:`lut_lookup`."""
+    n = profile.keys.shape[0]
+    spacing = profile.keys[1] - profile.keys[0]
+    i_lb = jnp.clip(jnp.ceil(dist / spacing).astype(jnp.int32), 0, n - 1)
+    i_prev = jnp.clip(i_lb - 1, 0, n - 1)
+    denom = profile.keys[i_prev] - profile.keys[i_lb]
+    perc = jnp.where(denom != 0.0, (dist - profile.keys[i_lb]) / denom, 0.0)
+    perc = jnp.where(dist == 0.0, 0.0, perc)
+    lerp = optics.lerp
+    return (
+        lerp(perc, profile.c0[i_lb], profile.c0[i_prev]),
+        lerp(perc, profile.c1[i_lb], profile.c1[i_prev]),
+        lerp(perc, profile.c2[i_lb], profile.c2[i_prev]),
+    )

@@ -46,6 +46,29 @@ class PupilLUT:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class PupilProfile:
+    """Polar pupil-support profile per film radius (no reference
+    equivalent — a TPU-native retry accelerator, see
+    :func:`zoic_tpu.pupil.build_profile`).
+
+    For each LUT radius key, coefficients of a conservative outer bound of
+    the accepted-sample support in unit-disk space:
+    ``rho_max(phi) ~ c0 + c1 cos(phi) + c2 cos(2 phi)`` (even symmetry:
+    the optical system is rotationally symmetric; shaping rotates after).
+    A candidate with rho > rho_max(phi) provably fails the trace (up to the
+    same Monte-Carlo cover-tail risk as the reference's own x1.05 LUT
+    margin, zoic.cpp:1463), so failed tries can be consumed without
+    tracing.
+    """
+
+    keys: Array  # f32[n] film-radius keys (same layout as PupilLUT.keys)
+    c0: Array    # f32[n]
+    c1: Array    # f32[n]
+    c2: Array    # f32[n]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class LensSystem:
     """SoA compiled lens stack + solved scalars (reference ``Lensdata``,
     zoic.cpp:528-541, after the ``node_update`` pipeline zoic.cpp:1615-1698).
@@ -69,6 +92,7 @@ class LensSystem:
     film_diagonal: Array        # f32[] sqrt(sw^2 + sh^2) (zoic.cpp:1633)
     focal_distance: Array       # f32[]
     lut: Optional[PupilLUT]
+    profile: Optional["PupilProfile"] = None
     # static (non-leaf) metadata
     aperture_element: int = dataclasses.field(metadata=dict(static=True), default=-1)
 
