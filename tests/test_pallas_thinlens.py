@@ -114,3 +114,31 @@ def test_hash_uniform_distribution():
     # deterministic
     u1r = np.asarray(_hash_uniform(ids, seed, jnp.int32(1), 0x11111111)).ravel()
     np.testing.assert_array_equal(u1, u1r)
+
+
+def test_image_bokeh_matches_jnp(samples, tmp_path_factory):
+    """Image-bokeh thin-lens (no vignetting -> no retries) rides the fused
+    kernel with pre-sampled offsets; results must match the jnp path
+    exactly (deterministic: one CDF draw per ray on both sides)."""
+    import os
+
+    sx, sy, u, v = samples
+    img = np.zeros((16, 16, 3), np.float32)
+    img[4:12, 6:10] = 1.0
+    d = tmp_path_factory.mktemp("bokeh")
+    path = os.path.join(str(d), "b.npy")
+    np.save(path, img)
+
+    outs = {}
+    for impl in ("jnp", "pallas"):
+        cfg = _cfg(impl, use_dof=True, use_image=True, bokeh_path=path)
+        st = zt.compile_camera(cfg)
+        r, _ = zt.create_rays(st, cfg, sx, sy, u, v)
+        outs[impl] = r
+    np.testing.assert_allclose(
+        np.asarray(outs["jnp"].origin), np.asarray(outs["pallas"].origin),
+        atol=2e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs["jnp"].dir), np.asarray(outs["pallas"].dir), atol=2e-6
+    )

@@ -90,9 +90,13 @@ def create_rays(
     if key is None:
         key = jax.random.PRNGKey(0)
 
+    # image-based bokeh rides the fused kernel too when there are no
+    # vignette retries: the bokeh draw happens exactly once per ray, so it
+    # is pre-sampled in jnp and handed to the kernel as raw offsets
+    bokeh_ok = not config.use_image or config.optical_vignetting_distance <= 0.0
     use_pallas = (
         config.impl != "jnp"
-        and not config.use_image
+        and bokeh_ok
         and len(b) == 1
         and (config.impl == "pallas" or jax.default_backend() == "tpu")
     )
@@ -156,6 +160,13 @@ def _create_rays_pallas(
     """Fused-kernel path (ops/trace_kernel.thinlens_fused)."""
     from ..ops import trace_kernel
 
+    presampled = bool(config.use_image)
+    if presampled:
+        # one bokeh-CDF draw per ray (no retries without vignetting)
+        from .. import bokeh as bokeh_mod
+
+        lensx, lensy = bokeh_mod.sample(state.bokeh, lensx, lensy)
+
     seed = jax.random.randint(key, (), 0, 1 << 22)
     origin, direction, tries = trace_kernel.thinlens_fused(
         sx, sy, lensx, lensy,
@@ -165,6 +176,7 @@ def _create_rays_pallas(
         has_ov=config.optical_vignetting_distance > 0.0,
         max_tries=config.max_tries,
         interpret=jax.default_backend() == "cpu",
+        presampled=presampled,
     )
     if config.use_dof:
         weight, n_ok, n_vig = common.weight_and_stats(tries, config.max_tries)

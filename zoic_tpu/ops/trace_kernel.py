@@ -355,6 +355,7 @@ def _thinlens_kernel(
     use_dof: bool,
     has_ov: bool,
     max_tries: int,
+    presampled: bool,  # u refs hold [-1,1] aperture offsets (image bokeh)
     scal_ref,   # SMEM (8,): tan_fov, ap_radius, focal_dist, ovd, ovr, seed
     sx_ref, sy_ref, u1_ref, u2_ref,
     out_ox, out_oy, out_dx, out_dy, out_dz, out_tries,
@@ -387,8 +388,13 @@ def _thinlens_kernel(
     t = jnp.abs(focal_dist / pdz)
     fx_, fy_, fz_ = pdx * t, pdy * t, pdz * t
 
-    def attempt(u1, u2):
-        lx, ly = _concentric(u1, u2)
+    def attempt(u1, u2, raw=False):
+        if raw:
+            # pre-sampled [-1,1] offsets (image-based bokeh, zoic.cpp:1787):
+            # only the apertureRadius scaling applies
+            lx, ly = u1, u2
+        else:
+            lx, ly = _concentric(u1, u2)
         lx = lx * ap_radius
         ly = ly * ap_radius
         ddx = fx_ - lx
@@ -404,7 +410,7 @@ def _thinlens_kernel(
             ok = jnp.ones_like(lx, dtype=jnp.bool_)
         return lx, ly, dx, dy, dz, ok
 
-    lx, ly, dx, dy, dz, ok = attempt(u1_ref[:], u2_ref[:])
+    lx, ly, dx, dy, dz, ok = attempt(u1_ref[:], u2_ref[:], raw=presampled)
     tries = jnp.zeros_like(sx, dtype=jnp.int32)
 
     if has_ov:
@@ -444,7 +450,9 @@ def _thinlens_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("use_dof", "has_ov", "max_tries", "tile_rows", "interpret"),
+    static_argnames=(
+        "use_dof", "has_ov", "max_tries", "tile_rows", "interpret", "presampled"
+    ),
 )
 def thinlens_fused(
     sx: Array,
@@ -463,9 +471,14 @@ def thinlens_fused(
     max_tries: int,
     tile_rows: int = DEF_TILE_ROWS,
     interpret: bool = False,
+    presampled: bool = False,
 ) -> Tuple[Array, Array, Array]:
-    """Fused thin-lens generation (non-bokeh). Returns (origin[B,3],
-    dir[B,3], tries[B])."""
+    """Fused thin-lens generation.  Returns (origin[B,3], dir[B,3],
+    tries[B]).  With ``presampled=True`` the (u1, u2) inputs are [-1,1]
+    aperture offsets already drawn by an external sampler (image-based
+    bokeh); only valid without empirical vignetting (retries would need
+    fresh image-CDF draws)."""
+    assert not (presampled and has_ov)
     b = sx.shape[0]
     n_pad = -b % LANES
     rows = (b + n_pad) // LANES
@@ -498,7 +511,9 @@ def thinlens_fused(
         jax.ShapeDtypeStruct((total_rows, LANES), jnp.float32) for _ in range(5)
     ] + [jax.ShapeDtypeStruct((total_rows, LANES), jnp.int32)]
 
-    kernel = functools.partial(_thinlens_kernel, use_dof, has_ov, max_tries)
+    kernel = functools.partial(
+        _thinlens_kernel, use_dof, has_ov, max_tries, presampled
+    )
     outs = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
