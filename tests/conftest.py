@@ -1,8 +1,14 @@
 """Test configuration: force the CPU backend with a virtual 8-device mesh.
 
-Must run before jax initializes a backend: tests never touch the TPU (the
-single chip is reserved for benchmarks) and sharding tests need 8 virtual
-devices (`xla_force_host_platform_device_count`).
+Tests never touch the TPU (the single chip is reserved for benchmarks) and
+sharding tests need 8 virtual devices (``xla_force_host_platform_device_count``).
+
+This host's site customization (a ``sitecustomize.py`` on PYTHONPATH) imports
+jax at interpreter startup and programmatically sets
+``jax.config.jax_platforms`` to the TPU plugin, so setting the
+``JAX_PLATFORMS`` env var here is too late.  ``jax.config.update`` before the
+backend initializes wins regardless — backends are created lazily, at the
+first ``jax.devices()``/trace, which no sane sitecustomize does.
 """
 
 import os
@@ -14,8 +20,21 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def pytest_sessionstart(session):
+    n = jax.device_count()
+    assert jax.default_backend() == "cpu", (
+        f"tests must run on the CPU backend, got {jax.default_backend()!r}; "
+        "a site plugin initialized a non-CPU backend before conftest ran"
+    )
+    assert n >= 8, f"need 8 virtual CPU devices for sharding tests, have {n}"
 
 
 @pytest.fixture(scope="session")
