@@ -50,28 +50,29 @@ def _samples(n, seed=0, raster=True):
 
 
 def bench_config(
-    cfg: zt.CameraConfig, n: int, iters: int, inner: int = 4, warmup: int = 2,
+    cfg: zt.CameraConfig, n: int, iters: int, inner: int = 16, warmup: int = 2,
     raster: bool = True,
-) -> float:
-    """Median steady-state rays/sec for one config (inner generations per
-    timed launch)."""
+) -> dict:
+    """Median steady-state throughput for one config (``inner`` whole-batch
+    generations per timed launch — a renderer batches frames the same way;
+    on relay-attached chips this also amortizes the fixed ~25ms launch
+    round-trip).  Returns rays/sec plus per-run efficiency telemetry:
+    attempts/ray (the straggler-waste signal the retry machine optimizes)
+    and the vignetted fraction."""
     state = zt.compile_camera(cfg)
     sx, sy, lx, ly = _samples(n, raster=raster)
     base_key = jax.random.PRNGKey(42)
 
     @jax.jit
     def step(key):
-        def body(i, acc):
+        def body(i, carry):
+            acc, vig = carry
             k = jax.random.fold_in(key, i)
             rays, stats = zt.create_rays(state, cfg, sx, sy, lx, ly, k)
             # consume outputs so nothing is dead-code eliminated
-            return (
-                acc
-                + jnp.sum(rays.weight)
-                + jnp.sum(rays.dir[:, 0])
-                + stats.vignetted.astype(jnp.float32)
-            )
-        return jax.lax.fori_loop(0, inner, body, jnp.float32(0.0))
+            acc = acc + jnp.sum(rays.weight) + jnp.sum(rays.dir[:, 0])
+            return acc, vig + stats.vignetted.astype(jnp.float32)
+        return jax.lax.fori_loop(0, inner, body, (jnp.float32(0.0),) * 2)
 
     for i in range(warmup):
         out = step(jax.random.fold_in(base_key, 1000 + i))
@@ -84,14 +85,47 @@ def bench_config(
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
     times.sort()
-    return inner * n / times[len(times) // 2]
+    rays_per_sec = inner * n / times[len(times) // 2]
+
+    # efficiency telemetry: mean tries/ray (0 = first attempt succeeded)
+    rays, stats = zt.create_rays(
+        state, cfg, sx, sy, lx, ly, jax.random.fold_in(base_key, 9999)
+    )
+    vig_frac = float(out[1]) / (inner * n)
+    attempts = None
+    if cfg.lens_model == zt.LensModel.RAYTRACED:
+        # reconstruct mean attempts from the vignetting law is lossy; use
+        # the stats directly where exposed
+        attempts = float(1.0 + _mean_tries(state, cfg, sx, sy, lx, ly))
+    return {
+        "rays_per_sec": rays_per_sec,
+        "vignetted_frac": vig_frac,
+        "attempts_per_ray": attempts,
+    }
+
+
+def _mean_tries(state, cfg, sx, sy, lx, ly):
+    """Mean retry count per ray (diagnostic; one extra generation)."""
+    from zoic_tpu.models import raytraced as _rt
+
+    if not _rt._use_pallas(cfg) or cfg.use_image or sx.ndim != 1:
+        return float("nan")
+    from zoic_tpu.ops import trace_kernel as _tk
+
+    _, _, tries, _ = _tk.raytraced_fused(
+        state.lens, sx, sy, lx, ly, state.sensor_width,
+        jnp.int32(777), max_tries=cfg.max_tries,
+        use_lut=bool(cfg.kolb_sampling_lut),
+        use_profile=bool(cfg.pupil_precheck and state.lens.profile is not None),
+    )
+    return float(jnp.mean(tries.astype(jnp.float32)))
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=1 << 22)
     ap.add_argument("--iters", type=int, default=7)
-    ap.add_argument("--inner", type=int, default=4)
+    ap.add_argument("--inner", type=int, default=16)
     ap.add_argument("--random-order", action="store_true",
                     help="shuffled sample order instead of raster order")
     ap.add_argument("--all", action="store_true", help="run all baseline configs")
@@ -134,22 +168,61 @@ def main():
                 lens_data_path=zt.data.lens_path("fisheye_muller_f4.0"),
                 focal_length=1.0, fstop=4.0, focal_distance=100.0,
             ),
+            # BASELINE config 3 x 4: image-based bokeh through the full
+            # raytraced path (presampled attempt-0 + streamed retry planes)
+            "raytraced_bokeh_image": zt.CameraConfig(
+                lens_model=zt.LensModel.RAYTRACED, lens_data_path=dg,
+                focal_length=5.0, fstop=2.0, focal_distance=100.0,
+                kolb_sampling_lut=True,
+                use_image=True, bokeh_path=bokeh_path,
+            ),
         }
+        # BASELINE config 5: wide-angle/exotic suite with focus breathing —
+        # petzval + telephoto swept over focus distances (each distance is
+        # a fresh image-distance solve -> different originShift, the
+        # breathing effect; zoic.cpp:1054-1095)
+        for lens_name, focal, fstop in (
+            ("petzval_f1.25", 5.0, 1.25),
+            ("telephoto_f5.0", 10.0, 5.0),
+        ):
+            for focus in (30.0, 100.0, 1000.0):
+                extra[f"raytraced_{lens_name}_focus{focus:g}"] = zt.CameraConfig(
+                    lens_model=zt.LensModel.RAYTRACED,
+                    lens_data_path=zt.data.lens_path(lens_name),
+                    focal_length=focal, fstop=fstop, focal_distance=focus,
+                )
         for name, cfg in extra.items():
-            rps = bench_config(cfg, args.batch, args.iters, args.inner)
-            print(f"  {name}: {rps:.3e} rays/s", file=sys.stderr)
+            r = bench_config(cfg, args.batch, args.iters, args.inner)
+            att = r["attempts_per_ray"]
+            att_s = f", {att:.2f} attempts/ray" if att == att and att else ""
+            print(
+                f"  {name}: {r['rays_per_sec']:.3e} rays/s "
+                f"(vignetted {r['vignetted_frac']:.3f}{att_s})",
+                file=sys.stderr,
+            )
 
-    rays_per_sec = bench_config(
+    res = bench_config(
         north_star, args.batch, args.iters, args.inner,
         raster=not args.random_order,
+    )
+    att = res["attempts_per_ray"]
+    # roofline telemetry: ~780 VPU ops per traced attempt (11-element
+    # Double-Gauss; counted in PERF_NOTES.md) -> effective useful VPU
+    # throughput.  Straggler/machinery waste shows up as the gap between
+    # this and the kernel's raw issue rate.
+    eff_tops = (
+        res["rays_per_sec"] * att * 780e-12 if att == att and att else None
     )
     print(
         json.dumps(
             {
                 "metric": "camera_rays_per_sec_chip_double_gauss_f2.0_lut",
-                "value": rays_per_sec,
+                "value": res["rays_per_sec"],
                 "unit": "rays/sec",
-                "vs_baseline": rays_per_sec / TARGET_RAYS_PER_SEC,
+                "vs_baseline": res["rays_per_sec"] / TARGET_RAYS_PER_SEC,
+                "attempts_per_ray": att,
+                "vignetted_frac": res["vignetted_frac"],
+                "effective_vpu_tops": eff_tops,
             }
         )
     )

@@ -1,0 +1,82 @@
+"""In-kernel straggler compaction vs the whole-tile retry loop.
+
+The compacted machine (fold eras + bitonic unsort, trace_kernel.py) must be
+*semantically identical* to the uncompacted loop: per-ray PRNG streams are
+indexed by the ray's own try counter, so retry scheduling cannot change
+which draws a ray consumes.  Gate: tries/tir bit-equal; ray payloads equal
+to float noise (the two programs compile to different fma/reassociation
+schedules, measured max |diff| ~2e-6 on retried rays only).
+"""
+
+import jax  # noqa: F401
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import zoic_tpu as zt
+from zoic_tpu.ops import trace_kernel
+
+
+def _run(cfg, state, n, compact, seed=12345, max_tries=25):
+    rng = np.random.default_rng(7)
+    sx = jnp.asarray(rng.uniform(-1, 1, n).astype(np.float32))
+    sy = jnp.asarray(rng.uniform(-1, 1, n).astype(np.float32))
+    u1 = jnp.asarray(rng.uniform(0, 1, n).astype(np.float32))
+    u2 = jnp.asarray(rng.uniform(0, 1, n).astype(np.float32))
+    lens = state.lens
+    o, d, t, tir = trace_kernel.raytraced_fused(
+        lens, sx, sy, u1, u2, state.sensor_width,
+        jnp.int32(seed), max_tries=max_tries, interpret=True,
+        compact=compact,
+        use_lut=bool(cfg.kolb_sampling_lut),
+        use_profile=bool(cfg.pupil_precheck and lens.profile is not None),
+    )
+    return tuple(np.asarray(a) for a in (o, d, t, tir))
+
+
+@pytest.mark.parametrize(
+    "lut,precheck",
+    [(True, True), (True, False), (False, False)],
+    ids=["lut+precheck", "lut", "naive"],
+)
+def test_compact_matches_whole_tile(lut, precheck):
+    cfg = zt.CameraConfig(
+        lens_model=zt.LensModel.RAYTRACED,
+        lens_data_path=zt.data.lens_path("double_gauss_f2.0"),
+        focal_length=5.0, fstop=2.0, focal_distance=100.0,
+        kolb_sampling_lut=lut, lut_bounds_samples=5_000,
+        pupil_precheck=precheck,
+    )
+    state = zt.compile_camera(cfg)
+    n = 64 * 128 + 300  # >1 tile plus ragged padding
+    oF, dF, tF, tirF = _run(cfg, state, n, compact=False)
+    oT, dT, tT, tirT = _run(cfg, state, n, compact=True)
+
+    # identical try accounting => identical weights, stats, vignetting
+    np.testing.assert_array_equal(tF, tT)
+    np.testing.assert_array_equal(tirF, tirT)
+    # identical attempt selection => payloads equal to codegen float noise
+    np.testing.assert_allclose(oF, oT, atol=3e-6)
+    np.testing.assert_allclose(dF, dT, atol=3e-6)
+    # sanity: retries actually happened (the machinery was exercised)
+    assert (tF > 0).any()
+
+
+def test_compact_tiny_budget():
+    """max_tries=0: one retry round runs, partial state still updates
+    (zoic.cpp:1766-1767 semantics) — identical across machines."""
+    cfg = zt.CameraConfig(
+        lens_model=zt.LensModel.RAYTRACED,
+        lens_data_path=zt.data.lens_path("double_gauss_f2.0"),
+        focal_length=5.0, fstop=2.0, focal_distance=100.0,
+        kolb_sampling_lut=True, lut_bounds_samples=5_000,
+    )
+    state = zt.compile_camera(cfg)
+    n = 64 * 128
+    oF, dF, tF, tirF = _run(cfg, state, n, compact=False, max_tries=0)
+    oT, dT, tT, tirT = _run(cfg, state, n, compact=True, max_tries=0)
+    np.testing.assert_array_equal(tF, tT)
+    np.testing.assert_array_equal(tirF, tirT)
+    np.testing.assert_allclose(oF, oT, atol=3e-6)
+    np.testing.assert_allclose(dF, dT, atol=3e-6)
+    assert (tF == 1).any()  # some rays consumed the single retry

@@ -8,10 +8,9 @@ Reference loop (zoic.cpp:1804, 1824-1830):
     while (!ok && tries <= maxtries) { resample; ++tries; }
     if (tries > maxtries) weight = 0;
 
-so a ray that succeeds on retry #26 still gets weight 0, and vignetting
-probability for acceptance rate p is exactly (1-p)^27... no — the loop
-runs retries for tries=1..26, so P(weight=0) = P(initial and retries 1..25
-all fail) = (1-p)^26.
+so a ray that succeeds on retry #26 still gets weight 0: the loop runs
+the initial attempt plus retries tries=1..25, and
+P(weight=0) = P(initial and retries 1..25 all fail) = (1-p)^26.
 """
 
 import jax

@@ -73,11 +73,12 @@ def _attempt(
 def _use_pallas(config: CameraConfig) -> bool:
     """Pick the fused TPU kernel when eligible.
 
-    The fused kernel covers the non-bokeh sampling paths (concentric disk,
-    naive or LUT shaping); image-based bokeh retries need CDF gathers and
-    stay on the jnp path.  On CPU the kernel runs interpreted (tests) only
-    when explicitly requested."""
-    if config.impl == "jnp" or config.use_image:
+    All sampling paths are covered: concentric disk (naive or LUT shaping)
+    with the in-kernel counter-hash draws, and image-based bokeh via
+    presampled attempt-0 offsets plus streamed per-round retry-draw planes
+    (the CDF inversion happens outside; zoic.cpp:1870, 1932).  On CPU the
+    kernel runs interpreted (tests) only when explicitly requested."""
+    if config.impl == "jnp":
         return False
     if config.impl == "pallas":
         return True
@@ -178,32 +179,51 @@ def _create_rays_pallas(
     lensy: Array,
     key: Array,
 ) -> Tuple[RayBatch, RayStats]:
-    """Fused-kernel path: the whole sample->shape->trace->retry pipeline runs
-    in one Pallas kernel (ops/trace_kernel.py); only the weight/exposure/
-    derivative epilogue stays in jnp."""
+    """Fused-kernel path: the whole sample->shape->trace->retry pipeline,
+    including the LUT/profile shaping lookups (from SMEM tables), runs in
+    one Pallas kernel (ops/trace_kernel.py); only the weight/exposure/
+    derivative epilogue stays in jnp.
+
+    Image-based bokeh: the CDF inversions happen out here (attempt-0 from
+    the caller's uniforms, retry draws pregenerated per round from counted
+    keys — the batched form of the reference's in-loop redraws at
+    zoic.cpp:1881, 1932) and enter the kernel as offset planes."""
     from ..ops import trace_kernel
 
     lens = state.lens
-    ox = sx * (state.sensor_width * 0.5)
-    oy = sy * (state.sensor_width * 0.5)
-    shaping = _shaping_params(state, config, ox, oy)
     seed = jax.random.randint(key, (), 0, 1 << 22)
 
-    # NOTE: trace_kernel.raytraced_phased (host-level straggler compaction)
-    # is semantically equivalent but currently loses badly on TPU: XLA
-    # lowers its 1M-element scatters near-serially (~10M elem/s measured).
-    # The single-launch kernel with whole-block masked rounds wins until
-    # compaction moves in-kernel.
-    profile_coeffs = None
-    if config.pupil_precheck and lens.profile is not None:
-        dist = jnp.abs(jnp.sqrt(ox * ox + oy * oy))
-        profile_coeffs = pupil.profile_lookup(lens.profile, dist)
+    presampled = bool(config.use_image)
+    retry_u1 = retry_u2 = None
+    if presampled:
+        from .. import bokeh as bokeh_mod
+
+        lensx, lensy = bokeh_mod.sample(state.bokeh, lensx, lensy)
+        if config.max_tries > 0:
+            n_planes = min(trace_kernel.BOKEH_PLANES, config.max_tries + 1)
+            b = sx.shape[0]
+            u = jax.random.uniform(
+                jax.random.fold_in(key, 1), (2, n_planes * b),
+                dtype=jnp.float32,
+            )
+            retry_u1, retry_u2 = bokeh_mod.sample(state.bokeh, u[0], u[1])
+            retry_u1 = retry_u1.reshape(n_planes, b)
+            retry_u2 = retry_u2.reshape(n_planes, b)
+
     origin, direction, tries, tir = trace_kernel.raytraced_fused(
-        lens, sx, sy, lensx, lensy, *shaping,
+        lens, sx, sy, lensx, lensy,
         state.sensor_width, seed,
         max_tries=config.max_tries,
+        use_lut=bool(config.kolb_sampling_lut),
+        use_profile=bool(
+            not presampled
+            and config.pupil_precheck
+            and lens.profile is not None
+        ),
         interpret=jax.default_backend() == "cpu",
-        profile_coeffs=profile_coeffs,
+        presampled=presampled,
+        retry_u1=retry_u1,
+        retry_u2=retry_u2,
     )
     weight, n_ok, n_vig = common.weight_and_stats(tries, config.max_tries)
     d_ody, d_ddy = common.fake_derivatives(tries, origin, direction)

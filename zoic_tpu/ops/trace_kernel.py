@@ -10,12 +10,16 @@ single fused TPU kernels over (rows, 128) ray tiles:
   (~25ms/M rays measured on v5e); the fused kernel reads each ray's inputs
   once and writes outputs once;
 * the resample-retry loop runs in-kernel with a counter-hash PRNG
-  (:func:`_hash_uniform`) and a whole-block early exit: a block whose
-  rays have all succeeded stops iterating (the batched analog of the
-  reference's per-ray early exit at zoic.cpp:1879);
+  (:func:`_hash_uniform`) whose per-ray counter is the ray's own try count,
+  so retry *scheduling* cannot change results — which enables the
+  in-kernel straggler compaction (fold eras + bitonic unsort, see
+  ``_compaction_schedule``) that keeps late retry rounds running on a
+  small row prefix instead of the whole tile;
 * aperture-sample shaping (naive first-element or exit-pupil LUT,
-  zoic.cpp:1873-1924) is a per-ray affine+rotation whose 4 coefficients are
-  constant across retries — they are precomputed outside and streamed in.
+  zoic.cpp:1873-1924) and the pupil-precheck profile are computed in-kernel
+  from small SMEM tables (``_shaping_from_table``) — the kernel is bound by
+  per-grid-step fixed costs, so streaming 7 precomputed per-ray planes from
+  HBM costs more than recomputing them per tile.
 
 Per-element math uses two algebraic identities over the reference ops (both
 documented at the site): the sphere normal divides by the signed radius
@@ -44,10 +48,12 @@ from ..system import LensSystem
 Array = jnp.ndarray
 
 LANES = 128
-DEF_TILE_ROWS = 64  # (64, 128) tiles: measured sweet spot on v5e — small
-# enough that a tile's retry loop exits soon after its slowest ray resolves
-# (grid steps pipeline their DMA), large enough to amortize per-step
-# overhead (tile 16: 126M, 32: 186M, 64: 192M, 128: 148M, 256: 120M rays/s)
+DEF_TILE_ROWS = 64   # thin-lens tile sweet spot on v5e (r1 sweep)
+DEF_RT_TILE_ROWS = 128  # raytraced tile: with in-kernel straggler
+# compaction the old small-tile advantage (early exit soon after the
+# slowest ray) disappears and amortizing the fixed per-grid-step cost wins
+# (r2 sweep, compacted: 64: 357M, 128: 403M, 256: 332M rays/s — 256 loses
+# to fold-scan cost growing with rows)
 
 
 def _pack_elements(lens: LensSystem) -> Array:
@@ -201,150 +207,531 @@ def _hash_uniform(ids, seed, rnd, salt):
 
 PRECHECK_DRAWS = 4  # candidate draws per retry round in profile mode
 
+BOKEH_PLANES = 4  # streamed retry-draw planes in presampled (bokeh) mode
+
+# i32 scratch state planes (compacted retry machine)
+_SI_IDS, _SI_TRIES, _SI_TIR, _SI_OK = range(4)
+
+
+def _plane_layout(use_lut: bool, use_profile: bool):
+    """f32 scratch-plane name -> index for the compacted retry machine.
+    Shaping planes exist only in LUT mode (naive shaping is scalar);
+    profile planes only when the pupil pre-check is active."""
+    names = ["fx", "fy", "ox", "oy", "oz", "dx", "dy", "dz"]
+    if use_lut:
+        names += ["ms", "trn", "sn", "cs"]
+    if use_profile:
+        names += ["pc0", "pc1", "pc2"]
+    return {n: i for i, n in enumerate(names)}
+
+
+def _atan(x):
+    """atan on [0, 1] (cephes atanf reduction at tan(pi/8)); ~2ulp f32."""
+    big = x > 0.4142135623730950
+    xr = jnp.where(big, (x - 1.0) / (x + 1.0), x)
+    t = xr * xr
+    p = jnp.float32(8.05374449538e-2)
+    p = p * t - jnp.float32(1.38776856032e-1)
+    p = p * t + jnp.float32(1.99777106478e-1)
+    p = p * t - jnp.float32(3.33329491539e-1)
+    y = xr + xr * t * p
+    return jnp.where(big, y + jnp.float32(PI_OVER_4), y)
+
+
+def _atan2(y, x):
+    """Polynomial atan2 (Mosaic has no atan2 primitive); matches
+    jnp.arctan2 to ~5e-7 absolute, well inside the 1e-5 parity gate."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    swap = ay > ax
+    num = jnp.where(swap, ax, ay)
+    den = jnp.where(swap, ay, ax)
+    r = num / jnp.maximum(den, jnp.float32(1e-30))
+    a = _atan(r)
+    a = jnp.where(swap, jnp.float32(PI_OVER_2) - a, a)
+    a = jnp.where(x < 0.0, jnp.float32(PI) - a, a)
+    return jnp.where(y < 0.0, -a, a)
+
+
+def _shaping_from_table(shap_ref, n_keys, spacing, fx, fy,
+                        use_lut, use_profile):
+    """In-kernel LUT/profile lookup: the uniform-key bracketing + lerp of
+    pupil.lut_lookup / pupil.profile_lookup, with the per-lane table gather
+    as an n_keys-step select chain over SMEM scalars.  Runs once per tile —
+    streaming the 7 per-ray results from HBM costs more than recomputing
+    them (the kernel is grid-DMA-bound; see PERF_NOTES)."""
+    dist = jnp.sqrt(fx * fx + fy * fy)
+    i_lb = jnp.clip(
+        jnp.ceil(dist * (1.0 / spacing)).astype(jnp.int32), 0, n_keys - 1
+    )
+    i_prev = jnp.maximum(i_lb - 1, 0)
+    lower = i_lb.astype(jnp.float32) * spacing
+    prev = i_prev.astype(jnp.float32) * spacing
+    denom = prev - lower
+    perc = jnp.where(denom != 0.0, (dist - lower) / denom, 0.0)
+    perc = jnp.where(dist == 0.0, 0.0, perc)
+
+    cols = ([0, 1] if use_lut else []) + ([2, 3, 4] if use_profile else [])
+    lb = [jnp.zeros_like(fx) for _ in cols]
+    pr = [jnp.zeros_like(fx) for _ in cols]
+    for k in range(n_keys):
+        sel_lb = i_lb == k
+        sel_pr = i_prev == k
+        for j, c in enumerate(cols):
+            v = shap_ref[k, c]
+            lb[j] = jnp.where(sel_lb, v, lb[j])
+            pr[j] = jnp.where(sel_pr, v, pr[j])
+    # lerp(perc, at_lb, at_prev)  (zoic.cpp:1910-1911 orientation)
+    vals = [a + perc * (b - a) for a, b in zip(lb, pr)]
+
+    out = {}
+    if use_lut:
+        out["ms"], out["trn"] = vals[0], vals[1]
+        theta = _atan2(fy, fx)
+        out["sn"] = _fast_sin(theta)
+        out["cs"] = _fast_cos(theta)
+        vals = vals[2:]
+    if use_profile:
+        out["pc0"], out["pc1"], out["pc2"] = vals
+    return out
+
+
+def _compaction_schedule(rows: int, max_total: int):
+    """Era pyramid for in-kernel straggler compaction.
+
+    Each era = (region_h, fold_src_offsets, rounds_per_rep, max_reps): fold
+    passes swap pending rays from rows [src, src+h) into done lanes of rows
+    [0, h), then retry rounds run on rows [0, h) only.
+
+    ``max_reps == 0`` means the era runs ONCE as straight-line code — no
+    while loop.  Offsets and rep counts follow the Monte-Carlo schedule
+    search recorded in PERF_NOTES.md (expected ~4.3 full-tile attempt-
+    equivalents vs ~12 uncompacted at the Double-Gauss acceptance p~0.57);
+    the while-loop early exits make easy tiles cheap."""
+    sched = []
+    if rows >= 16:
+        h = rows // 2
+        sched.append((h, (h,), 1, 1))
+    if rows >= 32:
+        h = rows // 4
+        sched.append((h, (h, 2 * h, 3 * h), 1, 2))
+    if rows > 8:
+        sched.append((8, tuple(range(8, rows, 8)), 1, max_total + 16))
+    return sched
+
+
+def _round_core(
+    attempt, seed, max_total, use_profile,
+    ids, pcs, ox, oy, oz, dx, dy, dz, ok_i, tries, tir_count,
+    draws=None,
+):
+    """One batched retry round (the body of zoic.cpp's resample loop,
+    1879-1947) on arrays of any (h, 128) shape.
+
+    PRNG counter is the per-ray ``tries`` value, NOT a global round index:
+    every ray consumes its own uniform stream in try order, so results are
+    bit-identical under any retry scheduling (whole-tile loops, compacted
+    regions) — the batched analog of the reference's sequential per-ray
+    draw order.  ``draws`` (presampled-bokeh mode) overrides the hash draws
+    with externally-sampled aperture offsets for THIS round; only valid
+    with round-synchronous scheduling (uncompacted, no profile), where
+    every pending ray's try counter equals the round index."""
+    pending = (ok_i == 0) & (tries < max_total)
+    if not use_profile:
+        if draws is not None:
+            u1, u2 = draws
+        else:
+            u1 = _hash_uniform(ids, seed, tries, 0x11111111)
+            u2 = _hash_uniform(ids, seed, tries, 0x22222222)
+        nox, noy, noz, ndx, ndy, ndz, nok, ntir = attempt(u1, u2)
+        consumed = pending.astype(jnp.int32)
+        merge = pending
+    else:
+        # Profile pre-check: a unit-disk candidate with
+        # rho > c0 + c1 cos(phi) + c2 cos(2 phi) provably fails the
+        # trace (build_profile's conservative bound), so up to
+        # PRECHECK_DRAWS failed tries are consumed per round for
+        # ~40 VPU ops each instead of a full trace.  The draw
+        # sequence and per-try outcomes are exactly the reference's
+        # (PARITY.md).
+        pc0, pc1, pc2 = pcs
+        found = jnp.zeros_like(ok_i)
+        consumed = jnp.zeros_like(ok_i)
+        cand1 = jnp.zeros_like(ox)
+        cand2 = jnp.zeros_like(ox)
+        for j in range(PRECHECK_DRAWS):
+            # draw j of this round is the ray's try #(tries + j): all
+            # previous draws this round were consumed while found == 0
+            ctr = tries + j
+            u1 = _hash_uniform(ids, seed, ctr, 0x11111111)
+            u2 = _hash_uniform(ids, seed, ctr, 0x22222222)
+            lx, ly = _concentric(u1, u2)
+            rho2 = lx * lx + ly * ly
+            rho = jnp.sqrt(rho2)
+            cphi = lx / jnp.maximum(rho, 1e-9)
+            bound = pc0 + pc1 * cphi + pc2 * (2.0 * cphi * cphi - 1.0)
+            pass_j = rho <= bound
+            can = pending & (found == 0) & (tries + consumed < max_total)
+            consumed = consumed + can.astype(jnp.int32)
+            take = can & pass_j
+            cand1 = jnp.where(take, u1, cand1)
+            cand2 = jnp.where(take, u2, cand2)
+            found = jnp.where(take, 1, found)
+        nox, noy, noz, ndx, ndy, ndz, nok, ntir = attempt(cand1, cand2)
+        merge = pending & (found == 1)
+        nok = nok & (found == 1)
+    ox = jnp.where(merge, nox, ox)
+    oy = jnp.where(merge, noy, oy)
+    oz = jnp.where(merge, noz, oz)
+    dx = jnp.where(merge, ndx, dx)
+    dy = jnp.where(merge, ndy, dy)
+    dz = jnp.where(merge, ndz, dz)
+    tries = tries + jnp.where(pending, consumed, 0)
+    tir_count = tir_count + (merge & ntir).astype(jnp.int32)
+    ok_i = jnp.where(pending, nok.astype(jnp.int32), ok_i)
+    return ox, oy, oz, dx, dy, dz, ok_i, tries, tir_count
+
+
+def _bitonic_unsort_rows(key, arrays, rows, group_stride=1):
+    """Per-lane-column bitonic sort of ``rows`` sublanes ascending by
+    ``key`` (distinct i32), carrying ``arrays`` — restores rays moved by
+    fold passes to their home rows (keys are the original lane ids).
+
+    ``group_stride`` g > 1 sorts independently WITHIN each row group
+    {r : r = c (mod g)} — every fold offset in ``_compaction_schedule`` is
+    a multiple of 8, so a ray never leaves its row class mod 8 and a
+    16-member grouped sort (10 compare stages) replaces the full 128-row
+    network (28 stages)."""
+    g = group_stride
+    n_members = rows // g
+    row = jax.lax.broadcasted_iota(jnp.int32, key.shape, 0)
+    m = row // g  # member index within the ray's row group
+    k = 2
+    while k <= n_members:
+        j = k // 2
+        while j >= 1:
+            low = (m & j) == 0
+            dir_up = (m & k) == 0
+
+            def partner(a, j=j, low=low):
+                return jnp.where(
+                    low,
+                    pltpu.roll(a, rows - g * j, axis=0),  # a[(r + gj) % rows]
+                    pltpu.roll(a, g * j, axis=0),         # a[(r - gj) % rows]
+                )
+
+            pk = partner(key)
+            take = (pk < key) == (low == dir_up)
+            key = jnp.where(take, pk, key)
+            arrays = [jnp.where(take, partner(a), a) for a in arrays]
+            j //= 2
+        k *= 2
+    return key, arrays
+
+
+def _roll_rows_dyn(a, shift):
+    """Circular row shift by a TRACED amount: bit-decomposed composition of
+    static ``pltpu.roll``s (Mosaic requires static shifts)."""
+    rows = a.shape[0]
+    b = 1
+    while b < rows:
+        a = jnp.where(shift & b != 0, pltpu.roll(a, b, axis=0), a)
+        b *= 2
+    return a
+
 
 def _raytraced_kernel(
     n_elems: int,
-    n_rounds: int,     # retry rounds to run in this kernel invocation
-    max_total: int,    # global retry ceiling = max_tries + 1 (zoic.cpp:1767)
-    skip_initial: bool,  # phase-B: no input-uniform attempt, all-PRNG rounds
-    sub_rows: int,     # retry-loop granularity in rows (straggler early-exit)
+    n_keys: int,       # shaping-table rows (LUT/profile film-radius keys)
+    max_total: int,    # retry ceiling = max_tries + 1 (zoic.cpp:1767)
+    use_lut: bool,     # exit-pupil LUT shaping (vs naive first-element)
     use_profile: bool,  # polar pupil pre-check (PupilProfile) available
-    # refs:
-    elems_ref,      # SMEM (E, 8)
-    scal_ref,       # SMEM (4,): origin_shift, dz0, seed, _pad
-    ox_ref, oy_ref, u1_ref, u2_ref, ms_ref, tr_ref, sin_ref, cos_ref, tries_ref,
-    c0_ref, c1_ref, c2_ref,
-    out_ox, out_oy, out_oz, out_dx, out_dy, out_dz, out_tries, out_tir, out_ok,
+    compact: bool,     # in-kernel straggler compaction (fold eras)
+    presampled: bool,  # u refs are [-1,1] bokeh offsets; retry draws from
+    #                    streamed planes (image-based bokeh mode)
+    *refs,
+    # ref layout (in order):
+    #   elems_ref   SMEM (E, 8)
+    #   scal_ref    SMEM (8,): origin_shift, dz0, seed, naive_scale,
+    #                          key_spacing, batch_size, sensor_half, _pad
+    #   shap_ref    SMEM (n_keys, 5): ms*1.05, centroid, c0, c1, c2
+    #   sx_ref, sy_ref, u1_ref, u2_ref          VMEM (rows, 128)
+    #   [bu1_ref, bu2_ref]                      VMEM (P, rows, 128)
+    #                                           — presampled only
+    #   out_ox..out_dz, out_packed              VMEM (rows, 128)
+    #   [st_f, st_i]                            VMEM scratch — compact only
 ):
+    (elems_ref, scal_ref, shap_ref, sx_ref, sy_ref, u1_ref, u2_ref), refs = (
+        refs[:7], refs[7:],
+    )
+    if presampled:
+        (bu1_ref, bu2_ref), refs = refs[:2], refs[2:]
+    (out_ox, out_oy, out_oz, out_dx, out_dy, out_dz, out_packed), refs = (
+        refs[:7], refs[7:],
+    )
+    st_f, st_i = refs if compact else (None, None)
     seed = scal_ref[2].astype(jnp.int32)
-
     origin_shift = scal_ref[0]
     dz0 = scal_ref[1]
+    naive_scale = scal_ref[3]
+    spacing = scal_ref[4]
+    batch_size = scal_ref[5].astype(jnp.int32)
+    sensor_half = scal_ref[6]
+    rows = sx_ref.shape[0]
+    pf = _plane_layout(use_lut, use_profile)
+    n_f32 = len(pf)
 
-    tile_rows = ox_ref.shape[0]
-    n_sub = max(1, tile_rows // max(1, sub_rows))
-
-    # The retry while-loop can run per sub-chunk of the tile (finer
-    # straggler early-exit), but measured on v5e the per-while overhead
-    # outweighs the saved masked rounds (sub_rows=8: 77M rays/s vs
-    # sub_rows=256: 120M).  Default is therefore one loop per tile.
-    for s in range(n_sub):
-        sl = pl.ds(s * sub_rows, sub_rows)
-        fx = ox_ref[sl, :]
-        fy = oy_ref[sl, :]
+    def attempt_on(fx, fy, ms, trn, sn, cs):
         fz = jnp.zeros_like(fx) + origin_shift
-        ms = ms_ref[sl, :]
-        trn = tr_ref[sl, :]
-        sn = sin_ref[sl, :]
-        cs = cos_ref[sl, :]
-        tries_in = tries_ref[sl, :]
-        if use_profile:
-            pc0 = c0_ref[sl, :]
-            pc1 = c1_ref[sl, :]
-            pc2 = c2_ref[sl, :]
 
-        def attempt(u1, u2, fx=fx, fy=fy, fz=fz, ms=ms, trn=trn, sn=sn, cs=cs):
-            lx, ly = _concentric(u1, u2)
-            ax = lx * ms + trn
-            ay = ly * ms
-            tx = ax * cs - ay * sn
-            ty = ax * sn + ay * cs
+        def attempt(u1, u2):
+            if presampled:
+                # (u1, u2) are [-1,1] aperture offsets already drawn from
+                # the bokeh-image CDF (zoic.cpp:1870); shaping still applies
+                lx, ly = u1, u2
+            else:
+                lx, ly = _concentric(u1, u2)
+            if use_lut:
+                ax = lx * ms + trn
+                ay = ly * ms
+                tx = ax * cs - ay * sn
+                ty = ax * sn + ay * cs
+            else:
+                # naive: whole first element, no rotation (zoic.cpp:1874)
+                tx = lx * ms
+                ty = ly * ms
             return _trace_block(
                 elems_ref, n_elems, fx, fy, fz, tx - fx, ty - fy,
                 jnp.zeros_like(fx) + dz0,
             )
 
-        if skip_initial:
-            zero = jnp.zeros_like(fx)
-            ox, oy, oz, dx, dy, dz = fx, fy, fz, zero, zero, zero
-            ok_i = jnp.zeros_like(fx, dtype=jnp.int32)
-            tir_count = jnp.zeros_like(fx, dtype=jnp.int32)
-        else:
-            # attempt #0 from the caller's uniforms; consumes no retry
-            ox, oy, oz, dx, dy, dz, ok, tir0 = attempt(u1_ref[sl, :], u2_ref[sl, :])
-            # loop-carried masks are int32: Mosaic has no i1 vector selects
-            ok_i = ok.astype(jnp.int32)
-            tir_count = tir0.astype(jnp.int32)
-        tries = tries_in
+        return attempt
 
-        def cond(carry, tries_in=tries_in):
+    # film point (zoic.cpp:1853-1854): both axes scale by sensorWidth/2
+    fx = sx_ref[:] * sensor_half
+    fy = sy_ref[:] * sensor_half
+    shaping = (
+        _shaping_from_table(
+            shap_ref, n_keys, spacing, fx, fy, use_lut, use_profile
+        )
+        if (use_lut or use_profile)
+        else {}
+    )
+    if use_lut:
+        ms, trn = shaping["ms"], shaping["trn"]
+        sn, cs = shaping["sn"], shaping["cs"]
+    else:
+        ms, trn = naive_scale, jnp.float32(0.0)
+        sn, cs = jnp.float32(0.0), jnp.float32(1.0)
+    pcs = (
+        (shaping["pc0"], shaping["pc1"], shaping["pc2"])
+        if use_profile else None
+    )
+    ids = _lane_ids(fx.shape, pl.program_id(0) * rows)
+    attempt = attempt_on(fx, fy, ms, trn, sn, cs)
+
+    # attempt #0 from the caller's uniforms; consumes no retry
+    ox, oy, oz, dx, dy, dz, ok, tir0 = attempt(u1_ref[:], u2_ref[:])
+    # loop-carried masks are int32: Mosaic has no i1 vector selects
+    ok_i = ok.astype(jnp.int32)
+    tir_count = tir0.astype(jnp.int32)
+    # pad lanes (beyond the true batch) never enter the retry rounds
+    tries = jnp.where(ids < batch_size, 0, max_total + 1)
+
+    if not compact:
+        # Whole-tile masked rounds: every round retraces the full tile
+        # until its slowest ray resolves (A/B + bitwise validation of the
+        # compacted machine; also the only valid scheduling for the
+        # presampled-bokeh mode, whose retry draws are per-ROUND planes).
+        def cond(carry):
             rnd = carry[0]
-            return (rnd <= n_rounds) & jnp.any(
+            return (rnd <= max_total) & jnp.any(
                 (carry[7] == 0) & (carry[8] < max_total)
             )
 
-        ids = _lane_ids(fx.shape, pl.program_id(0) * tile_rows + s * sub_rows)
-
-        def body(carry, attempt=attempt, tries_in=tries_in, ids=ids):
+        def body(carry):
             rnd, ox, oy, oz, dx, dy, dz, ok_i, tries, tir_count = carry
-            pending = (ok_i == 0) & (tries < max_total)
-            if not use_profile:
-                u1 = _hash_uniform(ids, seed, rnd, 0x11111111)
-                u2 = _hash_uniform(ids, seed, rnd, 0x22222222)
-                nox, noy, noz, ndx, ndy, ndz, nok, ntir = attempt(u1, u2)
-                consumed = pending.astype(jnp.int32)
-                merge = pending
-            else:
-                # Profile pre-check: a unit-disk candidate with
-                # rho > c0 + c1 cos(phi) + c2 cos(2 phi) provably fails the
-                # trace (build_profile's conservative bound), so up to
-                # PRECHECK_DRAWS failed tries are consumed per round for
-                # ~40 VPU ops each instead of a full trace.  The draw
-                # sequence and per-try outcomes are exactly the reference's
-                # (PARITY.md).
-                found = jnp.zeros_like(ok_i)
-                consumed = jnp.zeros_like(ok_i)
-                cand1 = jnp.zeros_like(fx)
-                cand2 = jnp.zeros_like(fx)
-                for j in range(PRECHECK_DRAWS):
-                    ctr = rnd * PRECHECK_DRAWS + j
-                    u1 = _hash_uniform(ids, seed, ctr, 0x11111111)
-                    u2 = _hash_uniform(ids, seed, ctr, 0x22222222)
-                    lx, ly = _concentric(u1, u2)
-                    rho2 = lx * lx + ly * ly
-                    rho = jnp.sqrt(rho2)
-                    cphi = lx / jnp.maximum(rho, 1e-9)
-                    bound = pc0 + pc1 * cphi + pc2 * (2.0 * cphi * cphi - 1.0)
-                    pass_j = rho <= bound
-                    can = pending & (found == 0) & (tries + consumed < max_total)
-                    consumed = consumed + can.astype(jnp.int32)
-                    take = can & pass_j
-                    cand1 = jnp.where(take, u1, cand1)
-                    cand2 = jnp.where(take, u2, cand2)
-                    found = jnp.where(take, 1, found)
-                nox, noy, noz, ndx, ndy, ndz, nok, ntir = attempt(cand1, cand2)
-                merge = pending & (found == 1)
-                nok = nok & (found == 1)
-            ox = jnp.where(merge, nox, ox)
-            oy = jnp.where(merge, noy, oy)
-            oz = jnp.where(merge, noz, oz)
-            dx = jnp.where(merge, ndx, dx)
-            dy = jnp.where(merge, ndy, dy)
-            dz = jnp.where(merge, ndz, dz)
-            tries = tries + jnp.where(pending, consumed, 0)
-            tir_count = tir_count + (merge & ntir).astype(jnp.int32)
-            ok_i = jnp.where(pending, nok.astype(jnp.int32), ok_i)
-            return rnd + 1, ox, oy, oz, dx, dy, dz, ok_i, tries, tir_count
+            draws = None
+            if presampled:
+                # retry draw for round r comes from streamed plane
+                # (r-1) % P; reuse cycles read the plane row-rotated by a
+                # distinct shift, so every ray's draw SEQUENCE is distinct
+                # iid bokeh samples (cross-ray sharing only; PARITY.md)
+                p = bu1_ref.shape[0]
+                cyc = (rnd - 1) // p
+                pidx = (rnd - 1) - cyc * p
+                rows_ = sx_ref.shape[0]
+                u1p = bu1_ref[pl.ds(pidx, 1), :, :].reshape(rows_, LANES)
+                u2p = bu2_ref[pl.ds(pidx, 1), :, :].reshape(rows_, LANES)
+                shift = cyc * 3
+                u1p = _roll_rows_dyn(u1p, shift)
+                u2p = _roll_rows_dyn(u2p, shift)
+                draws = (u1p, u2p)
+            out = _round_core(
+                attempt, seed, max_total, use_profile,
+                ids, pcs, ox, oy, oz, dx, dy, dz, ok_i, tries, tir_count,
+                draws=draws,
+            )
+            return (rnd + 1,) + out
 
-        if n_rounds > 0:
-            (_, ox, oy, oz, dx, dy, dz, ok_i, tries, tir_count) = (
-                jax.lax.while_loop(
-                    cond, body,
-                    (jnp.int32(1), ox, oy, oz, dx, dy, dz, ok_i, tries,
-                     tir_count),
-                )
+        (_, ox, oy, oz, dx, dy, dz, ok_i, tries, tir_count) = (
+            jax.lax.while_loop(
+                cond, body,
+                (jnp.int32(1), ox, oy, oz, dx, dy, dz, ok_i, tries, tir_count),
+            )
+        )
+    else:
+        # ---- compacted retry machine ----------------------------------
+        # State lives in VMEM scratch planes; fold passes swap pending rays
+        # (with ALL their per-ray state) into done lanes of the low rows so
+        # retry rounds run on a shrinking row prefix.  Ray identity travels
+        # in _SI_IDS; a final per-column bitonic sort restores home order.
+        vals = {
+            "fx": fx, "fy": fy,
+            "ox": ox, "oy": oy, "oz": oz, "dx": dx, "dy": dy, "dz": dz,
+        }
+        if use_lut:
+            vals.update(ms=ms, trn=trn, sn=sn, cs=cs)
+        if use_profile:
+            vals.update(pc0=pcs[0], pc1=pcs[1], pc2=pcs[2])
+        for name, plane in pf.items():
+            st_f[plane, :, :] = vals[name]
+        st_i[_SI_IDS, :, :] = ids
+        st_i[_SI_TRIES, :, :] = tries
+        st_i[_SI_TIR, :, :] = tir_count
+        st_i[_SI_OK, :, :] = ok_i
+
+        def any_pending():
+            return jnp.any(
+                (st_i[_SI_OK, :, :] == 0)
+                & (st_i[_SI_TRIES, :, :] < max_total)
             )
 
-        # flip (zoic.cpp:1960-1961)
-        out_ox[sl, :] = -ox
-        out_oy[sl, :] = -oy
-        out_oz[sl, :] = -oz
-        out_dx[sl, :] = -dx
-        out_dy[sl, :] = -dy
-        out_dz[sl, :] = -dz
-        out_tries[sl, :] = tries
-        out_tir[sl, :] = tir_count
-        out_ok[sl, :] = ok_i
+        def fold_pass(h, src_lo):
+            """Swap rows [0,h) with [src_lo, src_lo+h) where the source lane
+            is pending and the destination lane is done.  Unconditional
+            vector code: predicating on "source has pending" (a
+            jnp.any + pl.when) was measured 2x SLOWER end-to-end — every
+            branch forces a VPU->scalar sync, which costs more than the
+            swap it saves."""
+            d_ok = st_i[_SI_OK, 0:h, :]
+            d_tr = st_i[_SI_TRIES, 0:h, :]
+            s_ok = st_i[_SI_OK, src_lo:src_lo + h, :]
+            s_tr = st_i[_SI_TRIES, src_lo:src_lo + h, :]
+            pend_d = (d_ok == 0) & (d_tr < max_total)
+            pend_s = (s_ok == 0) & (s_tr < max_total)
+            m = pend_s & (~pend_d)
+            for k in range(n_f32):
+                a = st_f[k, 0:h, :]
+                b = st_f[k, src_lo:src_lo + h, :]
+                st_f[k, 0:h, :] = jnp.where(m, b, a)
+                st_f[k, src_lo:src_lo + h, :] = jnp.where(m, a, b)
+            for k in range(4):
+                a = st_i[k, 0:h, :]
+                b = st_i[k, src_lo:src_lo + h, :]
+                st_i[k, 0:h, :] = jnp.where(m, b, a)
+                st_i[k, src_lo:src_lo + h, :] = jnp.where(m, a, b)
+
+        def region_round(h):
+            """One retry round on rows [0, h) of the scratch state."""
+            if use_lut:
+                r_shape = tuple(
+                    st_f[pf[nm], 0:h, :] for nm in ("ms", "trn", "sn", "cs")
+                )
+            else:
+                r_shape = (ms, trn, sn, cs)  # scalars
+            att = attempt_on(
+                st_f[pf["fx"], 0:h, :], st_f[pf["fy"], 0:h, :], *r_shape
+            )
+            r_pcs = (
+                tuple(st_f[pf[nm], 0:h, :] for nm in ("pc0", "pc1", "pc2"))
+                if use_profile else None
+            )
+            out = _round_core(
+                att, seed, max_total, use_profile,
+                st_i[_SI_IDS, 0:h, :], r_pcs,
+                st_f[pf["ox"], 0:h, :], st_f[pf["oy"], 0:h, :],
+                st_f[pf["oz"], 0:h, :], st_f[pf["dx"], 0:h, :],
+                st_f[pf["dy"], 0:h, :], st_f[pf["dz"], 0:h, :],
+                st_i[_SI_OK, 0:h, :], st_i[_SI_TRIES, 0:h, :],
+                st_i[_SI_TIR, 0:h, :],
+            )
+            nox, noy, noz, ndx, ndy, ndz, nok, ntries, ntir = out
+            st_f[pf["ox"], 0:h, :] = nox
+            st_f[pf["oy"], 0:h, :] = noy
+            st_f[pf["oz"], 0:h, :] = noz
+            st_f[pf["dx"], 0:h, :] = ndx
+            st_f[pf["dy"], 0:h, :] = ndy
+            st_f[pf["dz"], 0:h, :] = ndz
+            st_i[_SI_OK, 0:h, :] = nok
+            st_i[_SI_TRIES, 0:h, :] = ntries
+            st_i[_SI_TIR, 0:h, :] = ntir
+
+        for h, srcs, n_rounds, max_rep in _compaction_schedule(
+            rows, max_total
+        ):
+            if max_rep == 0:
+                # straight-line era: no cond, no scalar sync
+                for src_lo in srcs:
+                    fold_pass(h, src_lo)
+                for _ in range(n_rounds):
+                    region_round(h)
+                continue
+
+            def era_cond(rep, max_rep=max_rep):
+                return (rep < max_rep) & any_pending()
+
+            def era_body(rep, h=h, srcs=srcs, n_rounds=n_rounds):
+                for src_lo in srcs:
+                    fold_pass(h, src_lo)
+                for _ in range(n_rounds):
+                    region_round(h)
+                return rep + 1
+
+            jax.lax.while_loop(era_cond, era_body, jnp.int32(0))
+
+        # guard: full-tile rounds finish anything the eras left pending
+        # (pathological acceptance rates); bounded by the try budget.
+        def guard_cond(rep):
+            return (rep < max_total + 2) & any_pending()
+
+        def guard_body(rep):
+            region_round(rows)
+            return rep + 1
+
+        jax.lax.while_loop(guard_cond, guard_body, jnp.int32(0))
+
+        # unsort: rays carried their global id; per-column ascending id
+        # order IS home row order (ids = (row_base + row) * 128 + lane).
+        packed = (
+            st_i[_SI_TRIES, :, :]
+            | (st_i[_SI_TIR, :, :] << 10)
+            | (st_i[_SI_OK, :, :] << 20)
+        )
+        _, arrays = _bitonic_unsort_rows(
+            st_i[_SI_IDS, :, :],
+            [
+                st_f[pf["ox"], :, :], st_f[pf["oy"], :, :],
+                st_f[pf["oz"], :, :], st_f[pf["dx"], :, :],
+                st_f[pf["dy"], :, :], st_f[pf["dz"], :, :],
+                packed,
+            ],
+            rows,
+            group_stride=8,
+        )
+        ox, oy, oz, dx, dy, dz, packed = arrays
+
+    if not compact:
+        packed = tries | (tir_count << 10) | (ok_i << 20)
+
+    # flip (zoic.cpp:1960-1961)
+    out_ox[:] = -ox
+    out_oy[:] = -oy
+    out_oz[:] = -oz
+    out_dx[:] = -dx
+    out_dy[:] = -dy
+    out_dz[:] = -dz
+    out_packed[:] = packed
 
 
 def _pad_rows(a: Array, rows: int) -> Array:
@@ -535,32 +922,102 @@ def thinlens_fused(
     return origin, direction, unprep(outs[5])
 
 
-def _raytraced_call(
+def _shaping_table(lens: LensSystem, use_lut: bool, use_profile: bool):
+    """SMEM shaping table (n_keys, 5): [max_scale*1.05, centroid_x, c0, c1,
+    c2] per film-radius key, plus the uniform key spacing.  The x1.05 margin
+    (zoic.cpp:1463, 1891) is folded into the table — lerp is linear."""
+    from .. import pupil as _pupil
+
+    if use_lut:
+        keys = lens.lut.keys
+        ms = lens.lut.max_scale * jnp.float32(_pupil.SAMPLING_ERROR_CORRECTION)
+        ce = lens.lut.centroid_x
+    elif use_profile:
+        keys = lens.profile.keys
+        ms = jnp.zeros_like(keys)
+        ce = jnp.zeros_like(keys)
+    else:
+        return jnp.zeros((1, 5), jnp.float32), jnp.float32(1.0)
+    if use_profile:
+        c0, c1, c2 = lens.profile.c0, lens.profile.c1, lens.profile.c2
+    else:
+        c0 = c1 = c2 = jnp.zeros_like(keys)
+    spacing = keys[1] - keys[0]
+    return jnp.stack([ms, ce, c0, c1, c2], axis=1), spacing
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_tries", "tile_rows", "interpret", "compact", "use_lut",
+        "use_profile", "presampled",
+    ),
+)
+def raytraced_fused(
     lens: LensSystem,
-    ox: Array,
-    oy: Array,
+    sx: Array,
+    sy: Array,
     u1: Array,
     u2: Array,
-    max_scale: Array,
-    translation: Array,
-    sin_t: Array,
-    cos_t: Array,
-    tries_in: Array,
+    sensor_width: Array,
     seed: Array,
-    profile_coeffs=None,   # (c0, c1, c2) per-ray arrays, or None
     *,
-    n_rounds: int,
-    max_total: int,
-    skip_initial: bool,
-    tile_rows: int,
-    interpret: bool,
-    sub_rows: int = DEF_TILE_ROWS,
-):
-    """One padded pallas_call over flat [B] arrays.  Returns
-    (origin[B,3], dir[B,3], tries[B], tir[B], ok[B])."""
-    b = ox.shape[0]
+    max_tries: int,
+    use_lut: bool,
+    use_profile: bool = False,
+    tile_rows: int = DEF_RT_TILE_ROWS,
+    interpret: bool = False,
+    compact: bool = True,
+    presampled: bool = False,
+    retry_u1: Array | None = None,
+    retry_u2: Array | None = None,
+) -> Tuple[Array, Array, Array, Array]:
+    """Fused raytraced camera-ray generation, single launch: the whole
+    retry budget runs in-kernel.
+
+    Flat [B] inputs; returns (origin[B,3], dir[B,3], tries[B], tir[B])
+    matching the jnp path's semantics (``tir`` counts per-ray TIR-failed
+    attempts).  Aperture-sample shaping (exit-pupil LUT interp + rotation,
+    zoic.cpp:1874-1924, when ``use_lut``) and the pupil-precheck profile
+    (``use_profile``) are computed IN-KERNEL from SMEM tables — the kernel
+    is grid-DMA-bound, so streaming 7 precomputed per-ray planes from HBM
+    costs more than recomputing them per tile.
+
+    ``compact=True`` runs the retry rounds on an in-kernel straggler-
+    compacted row prefix (see ``_compaction_schedule``); results are
+    bit-identical to ``compact=False`` because the per-ray PRNG stream is
+    indexed by the ray's own try counter.
+
+    ``presampled=True`` is the image-based-bokeh mode (zoic.cpp:1870, 1932
+    redraws): (u1, u2) hold [-1,1] bokeh offsets for attempt #0 and
+    ``retry_u1/retry_u2`` ([P, B]) hold per-ROUND retry draws streamed into
+    the kernel; rounds past P reuse planes row-rotated by a distinct shift.
+    Requires round-synchronous retries, so compaction and the pupil
+    precheck are disabled in this mode.
+    """
+    b = sx.shape[0]
+    max_total = max_tries + 1
+    assert not (presampled and use_profile), (
+        "profile precheck assumes concentric-disk candidates"
+    )
+    # the compacted machine packs tries/tir into 10-bit fields for the
+    # unsort, and the bitonic network needs power-of-2 rows; presampled
+    # retry planes are per-round, which requires round-synchronous tries
+    compact = (
+        compact
+        and not presampled
+        and max_total < 1022
+        and tile_rows >= 16
+        and (tile_rows & (tile_rows - 1)) == 0
+    )
+
     n_pad = -b % LANES
     rows = (b + n_pad) // LANES
+    # shrink the tile for small batches: don't pad a 1-row shard out to the
+    # full default tile (matters for per-shard batches under shard_map and
+    # for interpret-mode tests; 16 is the compaction minimum)
+    while tile_rows >= 32 and rows <= tile_rows // 2:
+        tile_rows //= 2
     row_pad = -rows % tile_rows
     total_rows = rows + row_pad
 
@@ -568,33 +1025,34 @@ def _raytraced_call(
         a = jnp.pad(a, (0, n_pad), constant_values=fill)
         return _pad_rows(a.reshape(rows, LANES), total_rows)
 
-    def prep_i(a, fill):
-        a = jnp.pad(a, (0, n_pad), constant_values=fill)
-        a = a.reshape(rows, LANES)
-        return jnp.pad(
-            a, ((0, total_rows - rows), (0, 0)), constant_values=fill
-        )
-
-    # pad uniforms with 0.5 (center sample -> benign trace for pad lanes);
-    # pad tries with max_total+1 so pad lanes never participate in rounds
-    use_profile = profile_coeffs is not None
-    if use_profile:
-        pc0, pc1, pc2 = profile_coeffs
-    else:
-        pc0 = pc1 = pc2 = jnp.zeros_like(ox)
-    ins = [
-        prep(ox), prep(oy), prep(u1, 0.5), prep(u2, 0.5),
-        prep(max_scale), prep(translation), prep(sin_t), prep(cos_t, 1.0),
-        prep_i(tries_in, max_total + 1),
-        prep(pc0, 2.0), prep(pc1), prep(pc2),
-    ]
+    # pad uniforms with 0.5 (center sample -> benign trace for pad lanes)
+    ins = [prep(sx), prep(sy), prep(u1, 0.5), prep(u2, 0.5)]
+    n_planes = 0
+    if presampled:
+        if retry_u1 is None:
+            retry_u1 = jnp.zeros((1, b), jnp.float32)
+            retry_u2 = jnp.zeros((1, b), jnp.float32)
+        n_planes = retry_u1.shape[0]
+        planes = []
+        for pa in (retry_u1, retry_u2):
+            pa = jnp.pad(pa, ((0, 0), (0, n_pad)))
+            pa = pa.reshape(n_planes, rows, LANES)
+            pa = jnp.pad(pa, ((0, 0), (0, row_pad), (0, 0)))
+            planes.append(pa)
+        ins += planes
 
     elems = _pack_elements(lens)
+    shap, spacing = _shaping_table(lens, use_lut, use_profile)
+    n_keys = shap.shape[0]
     scal = jnp.stack(
         [
             lens.origin_shift,
             -lens.thickness[0],
             jnp.asarray(seed, jnp.float32),
+            lens.aperture[0],
+            jnp.asarray(spacing, jnp.float32),
+            jnp.float32(b),
+            jnp.asarray(sensor_width, jnp.float32) * 0.5,
             jnp.float32(0.0),
         ]
     )
@@ -605,220 +1063,58 @@ def _raytraced_call(
     blk = pl.BlockSpec(
         (tile_rows, LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
     )
+    in_specs = [blk] * 4
+    if presampled:
+        in_specs += [
+            pl.BlockSpec(
+                (n_planes, tile_rows, LANES),
+                lambda i, *_: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ] * 2
     out_shape = [
         jax.ShapeDtypeStruct((total_rows, LANES), jnp.float32) for _ in range(6)
-    ] + [jax.ShapeDtypeStruct((total_rows, LANES), jnp.int32) for _ in range(3)]
+    ] + [jax.ShapeDtypeStruct((total_rows, LANES), jnp.int32)]
 
     kernel = functools.partial(
-        _raytraced_kernel, n_elems, n_rounds, max_total, skip_initial,
-        sub_rows, use_profile,
+        _raytraced_kernel, n_elems, n_keys, max_total, use_lut, use_profile,
+        compact, presampled,
+    )
+    n_f32 = len(_plane_layout(use_lut, use_profile))
+    scratch_shapes = (
+        [
+            pltpu.VMEM((n_f32, tile_rows, LANES), jnp.float32),
+            pltpu.VMEM((4, tile_rows, LANES), jnp.int32),
+        ]
+        if compact
+        else []
     )
     outs = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=grid,
-            in_specs=[blk] * 12,
-            out_specs=[blk] * 9,
+            in_specs=in_specs,
+            out_specs=[blk] * 7,
+            scratch_shapes=scratch_shapes,
         ),
         out_shape=out_shape,
+        # the compacted machine's fold/unsort temporaries push scoped VMEM
+        # slightly past the 16M default at tile_rows=64
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         # TPU-semantics interpreter for CPU tests (plain interpret=True lacks
         # the TPU PRNG primitives)
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(elems, scal, *ins)
+    )(elems, scal, shap, *ins)
 
     def unprep(a):
         return a.reshape(-1)[:b]
 
     origin = jnp.stack([unprep(outs[0]), unprep(outs[1]), unprep(outs[2])], -1)
     direction = jnp.stack([unprep(outs[3]), unprep(outs[4]), unprep(outs[5])], -1)
-    return origin, direction, unprep(outs[6]), unprep(outs[7]), unprep(outs[8])
-
-
-@functools.partial(
-    jax.jit, static_argnames=("max_tries", "tile_rows", "interpret", "sub_rows")
-)
-def raytraced_fused(
-    lens: LensSystem,
-    sx: Array,
-    sy: Array,
-    u1: Array,
-    u2: Array,
-    max_scale: Array,
-    translation: Array,
-    sin_t: Array,
-    cos_t: Array,
-    sensor_width: Array,
-    seed: Array,
-    *,
-    max_tries: int,
-    tile_rows: int = DEF_TILE_ROWS,
-    interpret: bool = False,
-    sub_rows: int = DEF_TILE_ROWS,
-    profile_coeffs=None,
-) -> Tuple[Array, Array, Array, Array]:
-    """Fused raytraced camera-ray generation (non-bokeh aperture sampling),
-    single launch: the whole retry budget runs in-kernel.
-
-    Flat [B] inputs; returns (origin[B,3], dir[B,3], tries[B], tir[B])
-    matching the jnp path's semantics (``tir`` counts per-ray TIR-failed
-    attempts).  ``max_scale``/``translation``/``sin_t``/``cos_t`` are the
-    per-ray shaping constants (LUT mode) or (aperture0, 0, 0, 1) for naive
-    mode — identical transforms to zoic.cpp:1874-1924.
-    """
-    ox = sx * (sensor_width * 0.5)
-    oy = sy * (sensor_width * 0.5)
-    tries0 = jnp.zeros_like(sx, dtype=jnp.int32)
-    origin, direction, tries, tir, _ = _raytraced_call(
-        lens, ox, oy, u1, u2, max_scale, translation, sin_t, cos_t, tries0,
-        seed, profile_coeffs,
-        n_rounds=max_tries + 1 if max_tries >= 0 else 0,
-        max_total=max_tries + 1,
-        skip_initial=False,
-        tile_rows=tile_rows,
-        interpret=interpret,
-        sub_rows=sub_rows,
-    )
-    return origin, direction, tries, tir
-
-
-def _compact_indices(mask: Array, capacity: int) -> Array:
-    """Indices of the first ``capacity`` set lanes of ``mask`` (i32
-    [capacity]); unfilled slots hold ``b`` (out-of-range sentinel)."""
-    b = mask.shape[0]
-    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    dest = jnp.where(mask & (pos < capacity), pos, capacity)
-    out = jnp.full((capacity,), b, jnp.int32)
-    return out.at[dest].set(
-        jnp.arange(b, dtype=jnp.int32), mode="drop"
-    )
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("max_tries", "tile_rows", "interpret", "phase_a_rounds",
-                     "compact_frac", "compact_iters", "compact_rounds"),
-)
-def raytraced_phased(
-    lens: LensSystem,
-    sx: Array,
-    sy: Array,
-    u1: Array,
-    u2: Array,
-    max_scale: Array,
-    translation: Array,
-    sin_t: Array,
-    cos_t: Array,
-    sensor_width: Array,
-    seed: Array,
-    *,
-    max_tries: int,
-    tile_rows: int = DEF_TILE_ROWS,
-    interpret: bool = False,
-    phase_a_rounds: int = 1,
-    compact_frac: int = 4,
-    compact_iters: int = 9,
-    compact_rounds: int = 3,
-) -> Tuple[Array, Array, Array, Array]:
-    """Straggler-compacted retry pipeline (same semantics as
-    :func:`raytraced_fused`, much less wasted SIMD work).
-
-    The whole-block masked retry loop makes every VMEM tile iterate until
-    its *slowest* ray finishes — with heterogeneous vignetting probabilities
-    that costs 10-26 full-batch attempts.  Here:
-
-    * phase A: one full-batch kernel (initial attempt + ``phase_a_rounds``
-      in-kernel retries);
-    * phase B: ``compact_iters`` iterations that gather the still-pending
-      rays into a ``B/compact_frac`` buffer (cumsum + drop-scatter), run
-      ``compact_rounds`` retries on the small homogeneous batch, and
-      scatter results back.  Per-ray try budgets carry across phases, so
-      the reference's 25-try/zero-weight semantics (zoic.cpp:1767,
-      1824-1830) are exact;
-    * fallback: if anything is still pending (pathological acceptance
-      rates that overflow the compact capacity), one guarded full-batch
-      kernel finishes the budget — cost no worse than the single-launch
-      path, and the guard branch is skipped at runtime otherwise.
-
-    Everything runs inside one jitted program: one device launch.
-    """
-    b = sx.shape[0]
-    max_total = max_tries + 1
-    ox = sx * (sensor_width * 0.5)
-    oy = sy * (sensor_width * 0.5)
-    tries0 = jnp.zeros_like(sx, dtype=jnp.int32)
-
-    call = functools.partial(
-        _raytraced_call,
-        tile_rows=tile_rows,
-        interpret=interpret,
-        max_total=max_total,
-    )
-
-    origin, direction, tries, tir, ok = call(
-        lens, ox, oy, u1, u2, max_scale, translation, sin_t, cos_t, tries0,
-        seed,
-        n_rounds=min(phase_a_rounds, max_total),
-        skip_initial=False,
-    )
-
-    capacity = max(LANES * 8, b // compact_frac)
-    dummy_u = jnp.full((capacity,), 0.5, jnp.float32)
-
-    for it in range(compact_iters):
-        pending = (ok == 0) & (tries < max_total)
-        idx = _compact_indices(pending, capacity)
-        safe = jnp.minimum(idx, b - 1)
-        valid = idx < b
-
-        c_args = tuple(
-            jnp.where(valid, a[safe], fill)
-            for a, fill in (
-                (ox, 0.0), (oy, 0.0), (max_scale, 1.0), (translation, 0.0),
-                (sin_t, 0.0), (cos_t, 1.0),
-            )
-        )
-        c_tries = jnp.where(valid, tries[safe], max_total + 1)
-
-        co, cd, ct, ctir, cok = call(
-            lens, c_args[0], c_args[1], dummy_u, dummy_u,
-            c_args[2], c_args[3], c_args[4], c_args[5], c_tries,
-            seed + 1000 + it,
-            n_rounds=compact_rounds,
-            skip_initial=True,
-        )
-
-        scatter_idx = jnp.where(valid, idx, b)  # drop invalid slots
-        origin = origin.at[scatter_idx].set(co, mode="drop")
-        direction = direction.at[scatter_idx].set(cd, mode="drop")
-        tries = tries.at[scatter_idx].set(ct, mode="drop")
-        tir = tir.at[scatter_idx].add(ctir, mode="drop")
-        ok = ok.at[scatter_idx].set(cok, mode="drop")
-
-    # exactness fallback for capacity-overflow pathologies
-    def finish(args):
-        origin, direction, tries, tir, ok = args
-        pend = (ok == 0) & (tries < max_total)
-        # exclude already-done lanes via the try ceiling (skip_initial
-        # kernels start with ok=0 internally)
-        f_tries = jnp.where(pend, tries, max_total + 1)
-        fo, fd, ft, ftir, fok = call(
-            lens, ox, oy, u1, u2,
-            max_scale, translation, sin_t, cos_t, f_tries,
-            seed + 99_999,
-            n_rounds=max_total,
-            skip_initial=True,
-        )
-        merge = lambda new, old: jnp.where(  # noqa: E731
-            pend if old.ndim == 1 else pend[:, None], new, old
-        )
-        return (
-            merge(fo, origin), merge(fd, direction), merge(ft, tries),
-            tir + jnp.where(pend, ftir, 0), merge(fok, ok),
-        )
-
-    any_pending = jnp.any((ok == 0) & (tries < max_total))
-    origin, direction, tries, tir, ok = jax.lax.cond(
-        any_pending, finish, lambda a: a, (origin, direction, tries, tir, ok)
-    )
+    packed = unprep(outs[6])
+    tries = packed & 0x3FF
+    tir = (packed >> 10) & 0x3FF
     return origin, direction, tries, tir

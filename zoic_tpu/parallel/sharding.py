@@ -69,6 +69,9 @@ def create_rays_sharded(
             jax.tree_util.tree_map(lambda _: P(AXIS), _raybatch_struct()),
             jax.tree_util.tree_map(lambda _: P(), _raystats_struct()),
         ),
+        # pallas_call outputs carry no varying-mesh-axes annotation; rays
+        # never communicate (pure DP), so the vma check adds nothing here
+        check_vma=False,
     )
     def _shard_fn(state_, sx_, sy_, lx_, ly_, key_):
         # decorrelate retry streams across shards
