@@ -10,6 +10,8 @@
 // Subcommands (all emit JSON on stdout):
 //   solve    <lens.dat> <focal_cm> <fstop> <focus_cm>
 //   trace    <lens.dat> <focal_cm> <fstop> <focus_cm> <n>   (rays on stdin)
+//   tracelut <lens.dat> <focal_cm> <fstop> <focus_cm> <n_film> <n_samp> <n>
+//            (2*n_film*n_samp LUT-build uniforms then n rays on stdin)
 //   thinlens <sw> <sh> <focal_cm> <fstop> <focus_cm> <ovd> <ovr> <n>
 //   bokeh    <w> <h> <n>    (w*h*3 floats then 2n uniforms on stdin)
 //
@@ -386,6 +388,114 @@ int cmd_trace(int argc, char **argv) {
     return 0;
 }
 
+// Exit-pupil LUT build from caller-supplied uniforms + LUT-shaped
+// first-attempt rays (zoic.cpp:1391-1452 build; 1889-1924 shaping: uniform
+// key lower_bound + lerp of maxScale/centroid, x1.05 margin, rotation by
+// the film azimuth with fastSin/fastCos).  The bound-ray uniform stream
+// comes from stdin so the Python LUT build can consume the identical
+// stream -> deterministic golden comparison of the whole LUT-shaped path.
+int cmd_tracelut(int argc, char **argv) {
+    Solved s = solve(argv[2], std::strtof(argv[3], nullptr),
+                     std::strtof(argv[4], nullptr), std::strtof(argv[5], nullptr));
+    int n_film = std::atoi(argv[6]);
+    int n_samp = std::atoi(argv[7]);
+    int n = std::atoi(argv[8]);
+    const float sw = 3.6f;               // reference default sensorWidth
+    const float film_width = 4.0f;       // hard-coded (zoic.cpp:1393)
+    const float spacing = film_width / (float)n_film;
+
+    std::vector<float> u0((size_t)n_film * n_samp), u1((size_t)n_film * n_samp);
+    for (auto &x : u0)
+        if (std::scanf("%f", &x) != 1) return 2;
+    for (auto &x : u1)
+        if (std::scanf("%f", &x) != 1) return 2;
+
+    std::vector<float> max_scale(n_film), centroid(n_film);
+    const float first_ap = s.ld.ap[0];
+    const float first_thick = s.ld.thick[0];
+    for (int i = 0; i < n_film; i++) {
+        float key = (float)i * spacing;
+        float mnx = 0, mny = 0, mxx = 0, mxy = 0;
+        bool any = false;
+        for (int k = 0; k < n_samp; k++) {
+            float lu = u0[(size_t)i * n_samp + k] * 2.0f - 1.0f;
+            float lv = u1[(size_t)i * n_samp + k] * 2.0f - 1.0f;
+            Vec3 origin{key, 0.0f, s.origin_shift};
+            // whole-first-element targeting via the element DIAMETER value
+            // (zoic.cpp:1417 over-cover quirk, preserved on both sides)
+            Vec3 dir{lu * first_ap - origin.x, lv * first_ap - origin.y,
+                     -first_thick};
+            if (!trace_stack(&s, &origin, &dir)) continue;
+            float px = lu * first_ap, py = lv * first_ap;
+            if (!any) {
+                mnx = mxx = px;
+                mny = mxy = py;
+                any = true;
+            } else {
+                mnx = std::min(mnx, px);
+                mny = std::min(mny, py);
+                mxx = std::max(mxx, px);
+                mxy = std::max(mxy, py);
+            }
+        }
+        // empty film positions keep the zero bbox (zoic.cpp:1402-1404)
+        float cx = (mnx + mxx) * 0.5f;
+        float cy = (mny + mxy) * 0.5f;
+        float sx_ = std::abs(mxx - cx);
+        float sy_ = std::abs(mxy - cy);
+        max_scale[i] = std::max(sx_, sy_);
+        centroid[i] = cx;
+    }
+
+    std::printf("{\"max_scale\":[");
+    for (int i = 0; i < n_film; i++)
+        std::printf("%.9g%s", max_scale[i], i + 1 < n_film ? "," : "");
+    std::printf("],\"centroid\":[");
+    for (int i = 0; i < n_film; i++)
+        std::printf("%.9g%s", centroid[i], i + 1 < n_film ? "," : "");
+    std::printf("],\"rays\":[");
+    for (int k = 0; k < n; k++) {
+        float sx, sy, u, v;
+        if (std::scanf("%f %f %f %f", &sx, &sy, &u, &v) != 4) break;
+        Vec3 origin{(float)(sx * (sw * 0.5)), (float)(sy * (sw * 0.5)),
+                    s.origin_shift};
+        float dist = std::abs(std::sqrt(origin.x * origin.x + origin.y * origin.y));
+        // uniform-key reduction of map::lower_bound + decrement + lerp
+        // (zoic.cpp:1892-1911; percentage is 0 at the lower_bound key,
+        // 1 at the previous key)
+        int i_lb = (int)std::ceil(dist / spacing);
+        if (i_lb < 0) i_lb = 0;
+        if (i_lb > n_film - 1) i_lb = n_film - 1;
+        int i_prev = i_lb > 0 ? i_lb - 1 : 0;
+        float lower = (float)i_lb * spacing;
+        float prevk = (float)i_prev * spacing;
+        float denom = prevk - lower;
+        float perc = denom != 0.0f ? (dist - lower) / denom : 0.0f;
+        if (dist == 0.0f) perc = 0.0f;
+        float ms = (max_scale[i_lb] + perc * (max_scale[i_prev] - max_scale[i_lb]))
+                   * 1.05f;  // SAMPLING_ERROR_CORRECTION (zoic.cpp:1463, 1891)
+        float tr = centroid[i_lb] + perc * (centroid[i_prev] - centroid[i_lb]);
+        float lx, ly;
+        concentric_disk(u, v, &lx, &ly);
+        float ax = lx * ms + tr;
+        float ay = ly * ms;
+        float theta = std::atan2(origin.y, origin.x);
+        float sn = fast_sin(theta), cs = fast_cos(theta);
+        float tx = ax * cs - ay * sn;
+        float ty = ax * sn + ay * cs;
+        Vec3 dir{tx - origin.x, ty - origin.y, -first_thick};
+        bool ok = trace_stack(&s, &origin, &dir);
+        origin = origin * -1.0f;
+        dir = dir * -1.0f;
+        std::printf("{\"ok\":%s,", ok ? "true" : "false");
+        emit_vec("origin", origin, true);
+        emit_vec("dir", dir, false);
+        std::printf("}%s", k + 1 < n ? "," : "");
+    }
+    std::printf("]}\n");
+    return 0;
+}
+
 // First-attempt thin-lens rays incl. DOF + empirical vignetting test
 // (zoic.cpp:1771-1848, 1297-1305 behavior minus retries).
 int cmd_thinlens(int argc, char **argv) {
@@ -513,6 +623,8 @@ int main(int argc, char **argv) {
     }
     if (!std::strcmp(argv[1], "solve") && argc >= 6) return cmd_solve(argc, argv);
     if (!std::strcmp(argv[1], "trace") && argc >= 7) return cmd_trace(argc, argv);
+    if (!std::strcmp(argv[1], "tracelut") && argc >= 9)
+        return cmd_tracelut(argc, argv);
     if (!std::strcmp(argv[1], "thinlens") && argc >= 10)
         return cmd_thinlens(argc, argv);
     if (!std::strcmp(argv[1], "bokeh") && argc >= 5) return cmd_bokeh(argc, argv);

@@ -50,18 +50,26 @@ def build_lut(
     key: Array,
     n_film: int = 32,
     n_samples: int = 100_000,
+    uniforms: Array | None = None,
 ) -> PupilLUT:
     """Vectorized ``exitPupilLUT``: one batched trace over the full
     ``[n_film, n_samples]`` grid instead of 3.2 M sequential traces.
 
     RNG: the reference draws from its shared xor128 stream; we use counted
     ``jax.random`` bits.  The resulting bboxes agree statistically (the LUT
-    is a Monte-Carlo bound estimate either way).
+    is a Monte-Carlo bound estimate either way).  ``uniforms`` (shape
+    ``(2, n_film, n_samples)``, U[0,1)) overrides the drawn stream — used
+    by the oracle-parity test to feed the identical sample stream to the
+    C++ golden build (tools/oracle ``tracelut``).
     """
     spacing = jnp.float32(FILM_WIDTH / n_film)
     film_x = jnp.arange(n_film, dtype=jnp.float32) * spacing  # keys (zoic.cpp:1399)
 
-    u = jax.random.uniform(key, (2, n_film, n_samples), dtype=jnp.float32)
+    u = (
+        uniforms
+        if uniforms is not None
+        else jax.random.uniform(key, (2, n_film, n_samples), dtype=jnp.float32)
+    )
     lens_u = u[0] * 2.0 - 1.0
     lens_v = u[1] * 2.0 - 1.0
 
