@@ -114,3 +114,41 @@ def test_pallas_odd_batch_padding():
     rays, stats = zt.create_rays(state, cfg, sx, sy, u, v, jax.random.PRNGKey(3))
     assert rays.origin.shape == (n, 3)
     assert int(stats.success) + int(stats.vignetted) == n
+
+
+def test_pallas_bokeh_image(samples, tmp_path):
+    """Image-based bokeh through the fused kernel (presampled attempt-0 +
+    streamed retry-draw planes): first-attempt successes are bit-comparable
+    to the jnp path (identical presampled offsets through the same
+    transform); retry outcomes are compared distributionally."""
+    import numpy as _np
+
+    sx, sy, u, v = samples
+    yy, xx = _np.mgrid[0:24, 0:24]
+    r = _np.sqrt((yy - 11.5) ** 2 + (xx - 11.5) ** 2)
+    img = (((r > 4) & (r < 9)).astype(_np.float32) + 0.01)
+    path = str(tmp_path / "ring.npy")
+    _np.save(path, _np.stack([img] * 3, -1))
+
+    key = jax.random.PRNGKey(7)
+    cfg_j = _cfg("jnp", max_tries=25, use_image=True, bokeh_path=path)
+    state = zt.compile_camera(cfg_j)
+    rays_j, st_j = zt.create_rays(state, cfg_j, sx, sy, u, v, key)
+    cfg_p = _cfg("pallas", max_tries=25, use_image=True, bokeh_path=path)
+    rays_p, st_p = zt.create_rays(state, cfg_p, sx, sy, u, v, key)
+
+    n = sx.shape[0]
+    assert int(st_p.success) + int(st_p.vignetted) == n
+    assert abs(int(st_j.vignetted) - int(st_p.vignetted)) < max(
+        20, 0.1 * (int(st_j.vignetted) + 10)
+    )
+    # rays that succeeded first-try on BOTH paths saw identical inputs
+    d_j = np.asarray(rays_j.dir)
+    d_p = np.asarray(rays_p.dir)
+    both = (np.asarray(rays_j.weight) > 0) & (np.asarray(rays_p.weight) > 0)
+    agree = np.all(np.abs(d_j - d_p) < 2e-5, axis=1) & both
+    assert agree.sum() > 0.4 * n  # first-try successes dominate
+    # and the overall accepted geometry matches distributionally
+    assert np.allclose(
+        d_j[both].mean(0), d_p[both].mean(0), atol=5e-3
+    )

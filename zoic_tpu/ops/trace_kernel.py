@@ -209,8 +209,28 @@ PRECHECK_DRAWS = 4  # candidate draws per retry round in profile mode
 
 BOKEH_PLANES = 4  # streamed retry-draw planes in presampled (bokeh) mode
 
-# i32 scratch state planes (compacted retry machine)
-_SI_IDS, _SI_TRIES, _SI_TIR, _SI_OK = range(4)
+# Compacted-machine i32 state is ONE packed plane per ray:
+#   bit 0      ok flag
+#   bits 1-6   tries   (compact requires max_total+1 < 64)
+#   bits 7-12  tir count
+#   bits 13+   home row within the tile (sort key: row occupies the high
+#              bits, so ascending-packed order IS home-row order per lane)
+# Global ray ids for the PRNG are recomputed as
+# (row_base + home_row) * 128 + lane, bit-identical to the uncompacted
+# path's _lane_ids.  One plane instead of four (ids/tries/tir/ok) cuts
+# fold-swap traffic and carries the retry results through the unsort key.
+
+
+def _pk_make(ok_i, tries, tir, row):
+    return ok_i | (tries << 1) | (tir << 7) | (row << 13)
+
+
+def _pk_fields(p):
+    return p & 1, (p >> 1) & 63, (p >> 7) & 63, p >> 13
+
+
+def _pk_pending(p, max_total):
+    return ((p & 1) == 0) & (((p >> 1) & 63) < max_total)
 
 
 def _plane_layout(use_lut: bool, use_profile: bool):
@@ -316,6 +336,9 @@ def _compaction_schedule(rows: int, max_total: int):
         h = rows // 4
         sched.append((h, (h, 2 * h, 3 * h), 1, 2))
     if rows > 8:
+        # 1 round per rep: 2 rounds/rep simmed 5% better on paper but
+        # measured -6% with the pupil pre-check on (each round already
+        # consumes up to 4 tries, so doubling rounds over-runs the region)
         sched.append((8, tuple(range(8, rows, 8)), 1, max_total + 16))
     return sched
 
@@ -584,8 +607,9 @@ def _raytraced_kernel(
         # ---- compacted retry machine ----------------------------------
         # State lives in VMEM scratch planes; fold passes swap pending rays
         # (with ALL their per-ray state) into done lanes of the low rows so
-        # retry rounds run on a shrinking row prefix.  Ray identity travels
-        # in _SI_IDS; a final per-column bitonic sort restores home order.
+        # retry rounds run on a shrinking row prefix.  Ray identity (home
+        # row) and the retry counters travel in one packed i32 plane; a
+        # final per-column bitonic sort restores home order.
         vals = {
             "fx": fx, "fy": fy,
             "ox": ox, "oy": oy, "oz": oz, "dx": dx, "dy": dy, "dz": dz,
@@ -596,16 +620,12 @@ def _raytraced_kernel(
             vals.update(pc0=pcs[0], pc1=pcs[1], pc2=pcs[2])
         for name, plane in pf.items():
             st_f[plane, :, :] = vals[name]
-        st_i[_SI_IDS, :, :] = ids
-        st_i[_SI_TRIES, :, :] = tries
-        st_i[_SI_TIR, :, :] = tir_count
-        st_i[_SI_OK, :, :] = ok_i
+        home_row = jax.lax.broadcasted_iota(jnp.int32, fx.shape, 0)
+        st_i[0, :, :] = _pk_make(ok_i, tries, tir_count, home_row)
+        row_base = pl.program_id(0) * rows
 
         def any_pending():
-            return jnp.any(
-                (st_i[_SI_OK, :, :] == 0)
-                & (st_i[_SI_TRIES, :, :] < max_total)
-            )
+            return jnp.any(_pk_pending(st_i[0, :, :], max_total))
 
         def fold_pass(h, src_lo):
             """Swap rows [0,h) with [src_lo, src_lo+h) where the source lane
@@ -614,23 +634,16 @@ def _raytraced_kernel(
             jnp.any + pl.when) was measured 2x SLOWER end-to-end — every
             branch forces a VPU->scalar sync, which costs more than the
             swap it saves."""
-            d_ok = st_i[_SI_OK, 0:h, :]
-            d_tr = st_i[_SI_TRIES, 0:h, :]
-            s_ok = st_i[_SI_OK, src_lo:src_lo + h, :]
-            s_tr = st_i[_SI_TRIES, src_lo:src_lo + h, :]
-            pend_d = (d_ok == 0) & (d_tr < max_total)
-            pend_s = (s_ok == 0) & (s_tr < max_total)
-            m = pend_s & (~pend_d)
+            p_d = st_i[0, 0:h, :]
+            p_s = st_i[0, src_lo:src_lo + h, :]
+            m = _pk_pending(p_s, max_total) & ~_pk_pending(p_d, max_total)
             for k in range(n_f32):
                 a = st_f[k, 0:h, :]
                 b = st_f[k, src_lo:src_lo + h, :]
                 st_f[k, 0:h, :] = jnp.where(m, b, a)
                 st_f[k, src_lo:src_lo + h, :] = jnp.where(m, a, b)
-            for k in range(4):
-                a = st_i[k, 0:h, :]
-                b = st_i[k, src_lo:src_lo + h, :]
-                st_i[k, 0:h, :] = jnp.where(m, b, a)
-                st_i[k, src_lo:src_lo + h, :] = jnp.where(m, a, b)
+            st_i[0, 0:h, :] = jnp.where(m, p_s, p_d)
+            st_i[0, src_lo:src_lo + h, :] = jnp.where(m, p_d, p_s)
 
         def region_round(h):
             """One retry round on rows [0, h) of the scratch state."""
@@ -647,14 +660,17 @@ def _raytraced_kernel(
                 tuple(st_f[pf[nm], 0:h, :] for nm in ("pc0", "pc1", "pc2"))
                 if use_profile else None
             )
+            p = st_i[0, 0:h, :]
+            r_ok, r_tries, r_tir, r_row = _pk_fields(p)
+            r_lane = jax.lax.broadcasted_iota(jnp.int32, (h, LANES), 1)
+            r_ids = (row_base + r_row) * LANES + r_lane
             out = _round_core(
                 att, seed, max_total, use_profile,
-                st_i[_SI_IDS, 0:h, :], r_pcs,
+                r_ids, r_pcs,
                 st_f[pf["ox"], 0:h, :], st_f[pf["oy"], 0:h, :],
                 st_f[pf["oz"], 0:h, :], st_f[pf["dx"], 0:h, :],
                 st_f[pf["dy"], 0:h, :], st_f[pf["dz"], 0:h, :],
-                st_i[_SI_OK, 0:h, :], st_i[_SI_TRIES, 0:h, :],
-                st_i[_SI_TIR, 0:h, :],
+                r_ok, r_tries, r_tir,
             )
             nox, noy, noz, ndx, ndy, ndz, nok, ntries, ntir = out
             st_f[pf["ox"], 0:h, :] = nox
@@ -663,9 +679,7 @@ def _raytraced_kernel(
             st_f[pf["dx"], 0:h, :] = ndx
             st_f[pf["dy"], 0:h, :] = ndy
             st_f[pf["dz"], 0:h, :] = ndz
-            st_i[_SI_OK, 0:h, :] = nok
-            st_i[_SI_TRIES, 0:h, :] = ntries
-            st_i[_SI_TIR, 0:h, :] = ntir
+            st_i[0, 0:h, :] = _pk_make(nok, ntries, ntir, r_row)
 
         for h, srcs, n_rounds, max_rep in _compaction_schedule(
             rows, max_total
@@ -701,25 +715,23 @@ def _raytraced_kernel(
 
         jax.lax.while_loop(guard_cond, guard_body, jnp.int32(0))
 
-        # unsort: rays carried their global id; per-column ascending id
-        # order IS home row order (ids = (row_base + row) * 128 + lane).
-        packed = (
-            st_i[_SI_TRIES, :, :]
-            | (st_i[_SI_TIR, :, :] << 10)
-            | (st_i[_SI_OK, :, :] << 20)
-        )
-        _, arrays = _bitonic_unsort_rows(
-            st_i[_SI_IDS, :, :],
+        # unsort: the packed word's high bits are the home row, so sorting
+        # ascending by the packed key restores home order per lane column
+        # (ties impossible: rows are unique within a lane) and the retry
+        # counters ride along in the key's low bits.
+        key, arrays = _bitonic_unsort_rows(
+            st_i[0, :, :],
             [
                 st_f[pf["ox"], :, :], st_f[pf["oy"], :, :],
                 st_f[pf["oz"], :, :], st_f[pf["dx"], :, :],
                 st_f[pf["dy"], :, :], st_f[pf["dz"], :, :],
-                packed,
             ],
             rows,
             group_stride=8,
         )
-        ox, oy, oz, dx, dy, dz, packed = arrays
+        ox, oy, oz, dx, dy, dz = arrays
+        k_ok, k_tries, k_tir, _ = _pk_fields(key)
+        packed = k_tries | (k_tir << 10) | (k_ok << 20)
 
     if not compact:
         packed = tries | (tir_count << 10) | (ok_i << 20)
@@ -1000,14 +1012,15 @@ def raytraced_fused(
     assert not (presampled and use_profile), (
         "profile precheck assumes concentric-disk candidates"
     )
-    # the compacted machine packs tries/tir into 10-bit fields for the
-    # unsort, and the bitonic network needs power-of-2 rows; presampled
+    # the compacted machine packs ok/tries/tir/home-row into one i32 plane
+    # (6-bit try fields -> max_total+1 < 64; row field sized for <=256
+    # rows), and the bitonic network needs power-of-2 rows; presampled
     # retry planes are per-round, which requires round-synchronous tries
     compact = (
         compact
         and not presampled
-        and max_total < 1022
-        and tile_rows >= 16
+        and max_total < 63
+        and 16 <= tile_rows <= 256
         and (tile_rows & (tile_rows - 1)) == 0
     )
 
@@ -1084,7 +1097,7 @@ def raytraced_fused(
     scratch_shapes = (
         [
             pltpu.VMEM((n_f32, tile_rows, LANES), jnp.float32),
-            pltpu.VMEM((4, tile_rows, LANES), jnp.int32),
+            pltpu.VMEM((1, tile_rows, LANES), jnp.int32),
         ]
         if compact
         else []
