@@ -97,6 +97,10 @@ def bench_config(
         # reconstruct mean attempts from the vignetting law is lossy; use
         # the stats directly where exposed
         attempts = float(1.0 + _mean_tries(state, cfg, sx, sy, lx, ly))
+    # drop this config's jit cache entry: its closed-over sample/state
+    # buffers otherwise stay pinned on-device for the whole --all sweep
+    # (measured: the headline config degrades 5x when run last)
+    step.clear_cache()
     return {
         "rays_per_sec": rays_per_sec,
         "vignetted_frac": vig_frac,

@@ -80,3 +80,33 @@ def test_compact_tiny_budget():
     np.testing.assert_allclose(oF, oT, atol=3e-6)
     np.testing.assert_allclose(dF, dT, atol=3e-6)
     assert (tF == 1).any()  # some rays consumed the single retry
+
+
+@pytest.mark.parametrize("ovr", [0.6, 1.2], ids=["tight", "loose"])
+def test_thinlens_compact_matches_whole_tile(ovr):
+    """The thin-lens vignette retry machine under era-fold compaction is
+    bit-identical to the whole-tile loop (per-ray try-indexed PRNG)."""
+    n = 32 * 128 + 77
+    rng = np.random.default_rng(31)
+    sx = jnp.asarray(rng.uniform(-1, 1, n).astype(np.float32))
+    sy = jnp.asarray(rng.uniform(-1, 1, n).astype(np.float32))
+    u1 = jnp.asarray(rng.uniform(0, 1, n).astype(np.float32))
+    u2 = jnp.asarray(rng.uniform(0, 1, n).astype(np.float32))
+
+    def run(compact):
+        return tuple(
+            np.asarray(a)
+            for a in trace_kernel.thinlens_fused(
+                sx, sy, u1, u2,
+                jnp.float32(0.36), jnp.float32(1.785), jnp.float32(100.0),
+                jnp.float32(4.0), jnp.float32(ovr), jnp.int32(999),
+                use_dof=True, has_ov=True, max_tries=25,
+                interpret=True, compact=compact,
+            )
+        )
+
+    oF, dF, tF = run(False)
+    oT, dT, tT = run(True)
+    np.testing.assert_array_equal(tF, tT)
+    np.testing.assert_allclose(oF, oT, atol=3e-6)
+    np.testing.assert_allclose(dF, dT, atol=3e-6)

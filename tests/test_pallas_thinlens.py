@@ -142,3 +142,42 @@ def test_image_bokeh_matches_jnp(samples, tmp_path_factory):
     np.testing.assert_allclose(
         np.asarray(outs["jnp"].dir), np.asarray(outs["pallas"].dir), atol=2e-6
     )
+
+
+def test_image_bokeh_with_vignetting(samples, tmp_path_factory):
+    """Image-bokeh + empirical vignetting through the fused kernel: retry
+    redraws come from streamed bokeh planes; rates and accepted geometry
+    must agree with the jnp path (different retry streams)."""
+    sx, sy, u, v = samples
+    rng = np.random.default_rng(23)
+    img = rng.uniform(0.0, 1.0, (16, 16, 3)).astype(np.float32)
+    d = tmp_path_factory.mktemp("bokeh_ov")
+    path = str(d / "img.npy")
+    np.save(path, img)
+
+    key = jax.random.PRNGKey(11)
+    res = {}
+    for impl in ("jnp", "pallas"):
+        cfg = _cfg(
+            impl, use_dof=True, use_image=True, bokeh_path=path,
+            optical_vignetting_distance=2.0, optical_vignetting_radius=0.8,
+            max_tries=25,
+        )
+        state = zt.compile_camera(cfg)
+        rays, stats = zt.create_rays(state, cfg, sx, sy, u, v, key)
+        res[impl] = (rays, stats)
+
+    n = sx.shape[0]
+    (r_j, s_j), (r_p, s_p) = res["jnp"], res["pallas"]
+    assert int(s_p.success) + int(s_p.vignetted) == n
+    assert abs(int(s_j.vignetted) - int(s_p.vignetted)) < max(
+        25, 0.1 * (int(s_j.vignetted) + 10)
+    )
+    w_j = np.asarray(r_j.weight) > 0
+    w_p = np.asarray(r_p.weight) > 0
+    d_j = np.asarray(r_j.dir)
+    d_p = np.asarray(r_p.dir)
+    # first-try successes saw identical presampled offsets
+    agree = np.all(np.abs(d_j - d_p) < 2e-5, axis=1) & w_j & w_p
+    assert agree.sum() > 0.3 * n
+    assert np.allclose(d_j[w_j].mean(0), d_p[w_p].mean(0), atol=5e-3)

@@ -90,13 +90,12 @@ def create_rays(
     if key is None:
         key = jax.random.PRNGKey(0)
 
-    # image-based bokeh rides the fused kernel too when there are no
-    # vignette retries: the bokeh draw happens exactly once per ray, so it
-    # is pre-sampled in jnp and handed to the kernel as raw offsets
-    bokeh_ok = not config.use_image or config.optical_vignetting_distance <= 0.0
+    # image-based bokeh rides the fused kernel in every combination:
+    # attempt-0 draws are pre-sampled in jnp and handed to the kernel as
+    # raw offsets; with empirical vignetting the retry redraws come from
+    # streamed per-round planes (see trace_kernel/PARITY.md)
     use_pallas = (
         config.impl != "jnp"
-        and bokeh_ok
         and len(b) == 1
         and (config.impl == "pallas" or jax.default_backend() == "tpu")
     )
@@ -161,11 +160,24 @@ def _create_rays_pallas(
     from ..ops import trace_kernel
 
     presampled = bool(config.use_image)
+    has_ov = config.optical_vignetting_distance > 0.0
+    retry_u1 = retry_u2 = None
     if presampled:
-        # one bokeh-CDF draw per ray (no retries without vignetting)
+        # attempt-0 bokeh-CDF draw per ray; with vignetting, pregenerate
+        # per-round retry draws too (zoic.cpp:1815 in-loop redraws)
         from .. import bokeh as bokeh_mod
 
         lensx, lensy = bokeh_mod.sample(state.bokeh, lensx, lensy)
+        if has_ov and config.max_tries > 0 and config.use_dof:
+            n_planes = min(trace_kernel.BOKEH_PLANES, config.max_tries + 1)
+            b1 = sx.shape[0]
+            u = jax.random.uniform(
+                jax.random.fold_in(key, 1), (2, n_planes * b1),
+                dtype=jnp.float32,
+            )
+            retry_u1, retry_u2 = bokeh_mod.sample(state.bokeh, u[0], u[1])
+            retry_u1 = retry_u1.reshape(n_planes, b1)
+            retry_u2 = retry_u2.reshape(n_planes, b1)
 
     seed = jax.random.randint(key, (), 0, 1 << 22)
     origin, direction, tries = trace_kernel.thinlens_fused(
@@ -173,10 +185,12 @@ def _create_rays_pallas(
         state.tan_fov, state.aperture_radius, state.focal_distance,
         state.ov_distance, state.ov_radius, seed,
         use_dof=config.use_dof,
-        has_ov=config.optical_vignetting_distance > 0.0,
+        has_ov=has_ov,
         max_tries=config.max_tries,
         interpret=jax.default_backend() == "cpu",
         presampled=presampled,
+        retry_u1=retry_u1,
+        retry_u2=retry_u2,
     )
     if config.use_dof:
         weight, n_ok, n_vig = common.weight_and_stats(tries, config.max_tries)

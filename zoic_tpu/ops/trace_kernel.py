@@ -28,8 +28,10 @@ normalized once per attempt rather than once per element (Snell of unit
 vectors returns unit vectors).  Agreement with the exact jnp path is ~1e-6,
 well inside the 1e-5 parity gate (tests/test_pallas.py).
 
-The image-based-bokeh retry path stays on the jnp side (per-round CDF
-gathers); only non-bokeh configs use the fused retry kernel.
+Image-based bokeh also rides the fused kernels: attempt-0 offsets are
+pre-sampled through the CDF outside, and retry redraws stream in as a few
+per-round offset planes reused with distinct row rotations (exact per-ray
+draw distribution; cross-ray sharing documented in PARITY.md).
 """
 
 from __future__ import annotations
@@ -343,6 +345,67 @@ def _compaction_schedule(rows: int, max_total: int):
     return sched
 
 
+def _run_compaction(st_f, st_i, n_f32, rows, max_total, region_round):
+    """Drive the era-fold straggler compaction over VMEM scratch state.
+
+    ``st_f`` holds ``n_f32`` per-ray f32 planes, ``st_i[0]`` the packed
+    ok/tries/tir/home-row word (see ``_pk_make``).  ``region_round(h)``
+    runs one model-specific retry round on rows [0, h) of the scratch.
+    Fold passes swap pending rays (with all their planes) into done lanes
+    of the shrinking row prefix; a guard of full-tile rounds bounds
+    pathological acceptance rates.  Scheduling is invisible to results as
+    long as the round's PRNG counters are per-ray try counts."""
+
+    def any_pending():
+        return jnp.any(_pk_pending(st_i[0, :, :], max_total))
+
+    def fold_pass(h, src_lo):
+        # Unconditional vector code: predicating on "source has pending"
+        # (jnp.any + pl.when) measured 2x SLOWER end-to-end — every branch
+        # forces a VPU->scalar sync costing more than the swap it saves.
+        p_d = st_i[0, 0:h, :]
+        p_s = st_i[0, src_lo:src_lo + h, :]
+        m = _pk_pending(p_s, max_total) & ~_pk_pending(p_d, max_total)
+        for k in range(n_f32):
+            a = st_f[k, 0:h, :]
+            b = st_f[k, src_lo:src_lo + h, :]
+            st_f[k, 0:h, :] = jnp.where(m, b, a)
+            st_f[k, src_lo:src_lo + h, :] = jnp.where(m, a, b)
+        st_i[0, 0:h, :] = jnp.where(m, p_s, p_d)
+        st_i[0, src_lo:src_lo + h, :] = jnp.where(m, p_d, p_s)
+
+    for h, srcs, n_rounds, max_rep in _compaction_schedule(rows, max_total):
+        if max_rep == 0:
+            for src_lo in srcs:
+                fold_pass(h, src_lo)
+            for _ in range(n_rounds):
+                region_round(h)
+            continue
+
+        def era_cond(rep, max_rep=max_rep):
+            return (rep < max_rep) & any_pending()
+
+        def era_body(rep, h=h, srcs=srcs, n_rounds=n_rounds):
+            for src_lo in srcs:
+                fold_pass(h, src_lo)
+            for _ in range(n_rounds):
+                region_round(h)
+            return rep + 1
+
+        jax.lax.while_loop(era_cond, era_body, jnp.int32(0))
+
+    # guard: full-tile rounds finish anything the eras left pending
+    # (pathological acceptance rates); bounded by the try budget.
+    def guard_cond(rep):
+        return (rep < max_total + 2) & any_pending()
+
+    def guard_body(rep):
+        region_round(rows)
+        return rep + 1
+
+    jax.lax.while_loop(guard_cond, guard_body, jnp.int32(0))
+
+
 def _round_core(
     attempt, seed, max_total, use_profile,
     ids, pcs, ox, oy, oz, dx, dy, dz, ok_i, tries, tir_count,
@@ -624,27 +687,6 @@ def _raytraced_kernel(
         st_i[0, :, :] = _pk_make(ok_i, tries, tir_count, home_row)
         row_base = pl.program_id(0) * rows
 
-        def any_pending():
-            return jnp.any(_pk_pending(st_i[0, :, :], max_total))
-
-        def fold_pass(h, src_lo):
-            """Swap rows [0,h) with [src_lo, src_lo+h) where the source lane
-            is pending and the destination lane is done.  Unconditional
-            vector code: predicating on "source has pending" (a
-            jnp.any + pl.when) was measured 2x SLOWER end-to-end — every
-            branch forces a VPU->scalar sync, which costs more than the
-            swap it saves."""
-            p_d = st_i[0, 0:h, :]
-            p_s = st_i[0, src_lo:src_lo + h, :]
-            m = _pk_pending(p_s, max_total) & ~_pk_pending(p_d, max_total)
-            for k in range(n_f32):
-                a = st_f[k, 0:h, :]
-                b = st_f[k, src_lo:src_lo + h, :]
-                st_f[k, 0:h, :] = jnp.where(m, b, a)
-                st_f[k, src_lo:src_lo + h, :] = jnp.where(m, a, b)
-            st_i[0, 0:h, :] = jnp.where(m, p_s, p_d)
-            st_i[0, src_lo:src_lo + h, :] = jnp.where(m, p_d, p_s)
-
         def region_round(h):
             """One retry round on rows [0, h) of the scratch state."""
             if use_lut:
@@ -664,6 +706,32 @@ def _raytraced_kernel(
             r_ok, r_tries, r_tir, r_row = _pk_fields(p)
             r_lane = jax.lax.broadcasted_iota(jnp.int32, (h, LANES), 1)
             r_ids = (row_base + r_row) * LANES + r_lane
+            draws = None
+            if presampled:
+                # per-lane draw for try t: streamed plane t % P, rotated by
+                # a distinct row shift per reuse cycle t // P, read at the
+                # ray's CURRENT region position.  Each (plane, shift,
+                # position) cell is consumed by at most one ray per try
+                # index, so draws stay iid bokeh samples; the assignment is
+                # position-based rather than identity-based (PARITY.md).
+                n_p = bu1_ref.shape[0]
+                n_cyc = (max_total - 1) // n_p + 1
+                pidx = jnp.where(r_tries < max_total, r_tries, 0)
+                cyc = pidx // n_p
+                pidx = pidx - cyc * n_p
+                u1 = jnp.zeros((h, LANES), jnp.float32)
+                u2 = jnp.zeros((h, LANES), jnp.float32)
+                for pp in range(n_p):
+                    b1 = bu1_ref[pp, 0:h, :]
+                    b2 = bu2_ref[pp, 0:h, :]
+                    for cc in range(n_cyc):
+                        sh = (3 * cc) % h
+                        v1 = pltpu.roll(b1, sh, axis=0) if sh else b1
+                        v2 = pltpu.roll(b2, sh, axis=0) if sh else b2
+                        m = (pidx == pp) & (cyc == cc)
+                        u1 = jnp.where(m, v1, u1)
+                        u2 = jnp.where(m, v2, u2)
+                draws = (u1, u2)
             out = _round_core(
                 att, seed, max_total, use_profile,
                 r_ids, r_pcs,
@@ -671,6 +739,7 @@ def _raytraced_kernel(
                 st_f[pf["oz"], 0:h, :], st_f[pf["dx"], 0:h, :],
                 st_f[pf["dy"], 0:h, :], st_f[pf["dz"], 0:h, :],
                 r_ok, r_tries, r_tir,
+                draws=draws,
             )
             nox, noy, noz, ndx, ndy, ndz, nok, ntries, ntir = out
             st_f[pf["ox"], 0:h, :] = nox
@@ -681,39 +750,7 @@ def _raytraced_kernel(
             st_f[pf["dz"], 0:h, :] = ndz
             st_i[0, 0:h, :] = _pk_make(nok, ntries, ntir, r_row)
 
-        for h, srcs, n_rounds, max_rep in _compaction_schedule(
-            rows, max_total
-        ):
-            if max_rep == 0:
-                # straight-line era: no cond, no scalar sync
-                for src_lo in srcs:
-                    fold_pass(h, src_lo)
-                for _ in range(n_rounds):
-                    region_round(h)
-                continue
-
-            def era_cond(rep, max_rep=max_rep):
-                return (rep < max_rep) & any_pending()
-
-            def era_body(rep, h=h, srcs=srcs, n_rounds=n_rounds):
-                for src_lo in srcs:
-                    fold_pass(h, src_lo)
-                for _ in range(n_rounds):
-                    region_round(h)
-                return rep + 1
-
-            jax.lax.while_loop(era_cond, era_body, jnp.int32(0))
-
-        # guard: full-tile rounds finish anything the eras left pending
-        # (pathological acceptance rates); bounded by the try budget.
-        def guard_cond(rep):
-            return (rep < max_total + 2) & any_pending()
-
-        def guard_body(rep):
-            region_round(rows)
-            return rep + 1
-
-        jax.lax.while_loop(guard_cond, guard_body, jnp.int32(0))
+        _run_compaction(st_f, st_i, n_f32, rows, max_total, region_round)
 
         # unsort: the packed word's high bits are the home row, so sorting
         # ascending by the packed key restores home order per lane column
@@ -755,18 +792,31 @@ def _thinlens_kernel(
     has_ov: bool,
     max_tries: int,
     presampled: bool,  # u refs hold [-1,1] aperture offsets (image bokeh)
-    scal_ref,   # SMEM (8,): tan_fov, ap_radius, focal_dist, ovd, ovr, seed
-    sx_ref, sy_ref, u1_ref, u2_ref,
-    out_ox, out_oy, out_dx, out_dy, out_dz, out_tries,
+    compact: bool,     # era-fold straggler compaction (concentric OV only)
+    *refs,
+    # ref layout:
+    #   scal_ref  SMEM (8,): tan_fov, ap_radius, focal_dist, ovd, ovr, seed
+    #   sx_ref, sy_ref, u1_ref, u2_ref            VMEM (rows, 128)
+    #   [bu1_ref, bu2_ref]   VMEM (P, rows, 128)  — presampled+has_ov only
+    #   out_ox, out_oy, out_dx, out_dy, out_dz, out_tries
+    #   [st_f, st_i]                              VMEM scratch — compact only
 ):
     """Fused THINLENS branch (zoic.cpp:1771-1848): pinhole direction, DOF
     refocus, empirical-vignette retry rounds — one VMEM-resident kernel."""
+    (scal_ref, sx_ref, sy_ref, u1_ref, u2_ref), refs = refs[:5], refs[5:]
+    if presampled and has_ov:
+        (bu1_ref, bu2_ref), refs = refs[:2], refs[2:]
+    (out_ox, out_oy, out_dx, out_dy, out_dz, out_tries), refs = (
+        refs[:6], refs[6:],
+    )
+    st_f, st_i = refs if compact else (None, None)
     seed = scal_ref[5].astype(jnp.int32)
     tan_fov = scal_ref[0]
     ap_radius = scal_ref[1]
     focal_dist = scal_ref[2]
     ovd = scal_ref[3]
     ovr = scal_ref[4]
+    rows = sx_ref.shape[0]
 
     sx = sx_ref[:]
     sy = sy_ref[:]
@@ -787,44 +837,117 @@ def _thinlens_kernel(
     t = jnp.abs(focal_dist / pdz)
     fx_, fy_, fz_ = pdx * t, pdy * t, pdz * t
 
-    def attempt(u1, u2, raw=False):
-        if raw:
-            # pre-sampled [-1,1] offsets (image-based bokeh, zoic.cpp:1787):
-            # only the apertureRadius scaling applies
-            lx, ly = u1, u2
-        else:
-            lx, ly = _concentric(u1, u2)
-        lx = lx * ap_radius
-        ly = ly * ap_radius
-        ddx = fx_ - lx
-        ddy = fy_ - ly
-        inv2 = jax.lax.rsqrt(ddx * ddx + ddy * ddy + fz_ * fz_)
-        dx, dy, dz = ddx * inv2, ddy * inv2, fz_ * inv2
-        if has_ov:
-            vx = dx * ovd - lx
-            vy = dy * ovd - ly
-            hyp = jnp.sqrt(vx * vx + vy * vy)
-            ok = jnp.abs(hyp) < ap_radius * ovr
-        else:
-            ok = jnp.ones_like(lx, dtype=jnp.bool_)
-        return lx, ly, dx, dy, dz, ok
+    def attempt_on(fxr, fyr, fzr):
+        def attempt(u1, u2, raw=False):
+            if raw:
+                # pre-sampled [-1,1] offsets (image-based bokeh,
+                # zoic.cpp:1787): only the apertureRadius scaling applies
+                lx, ly = u1, u2
+            else:
+                lx, ly = _concentric(u1, u2)
+            lx = lx * ap_radius
+            ly = ly * ap_radius
+            ddx = fxr - lx
+            ddy = fyr - ly
+            inv2 = jax.lax.rsqrt(ddx * ddx + ddy * ddy + fzr * fzr)
+            dx, dy, dz = ddx * inv2, ddy * inv2, fzr * inv2
+            if has_ov:
+                vx = dx * ovd - lx
+                vy = dy * ovd - ly
+                hyp = jnp.sqrt(vx * vx + vy * vy)
+                ok = jnp.abs(hyp) < ap_radius * ovr
+            else:
+                ok = jnp.ones_like(lx, dtype=jnp.bool_)
+            return lx, ly, dx, dy, dz, ok
 
+        return attempt
+
+    attempt = attempt_on(fx_, fy_, fz_)
     lx, ly, dx, dy, dz, ok = attempt(u1_ref[:], u2_ref[:], raw=presampled)
     tries = jnp.zeros_like(sx, dtype=jnp.int32)
+    max_total = max_tries + 1
+    row_base = pl.program_id(0) * rows
 
-    if has_ov:
+    if has_ov and compact:
+        # ---- era-fold compacted retry machine (concentric draws) -------
+        # PRNG counter is the per-ray try index (tries + 1, matching the
+        # whole-tile loop's round numbering), so scheduling is invisible
+        # and results are bit-identical to the uncompacted loop.
+        planes = (fx_, fy_, fz_, lx, ly, dx, dy, dz)
+        for k, v in enumerate(planes):
+            st_f[k, :, :] = v
+        home_row = jax.lax.broadcasted_iota(jnp.int32, sx.shape, 0)
         ok_i = ok.astype(jnp.int32)
-        ids = _lane_ids(sx.shape, pl.program_id(0) * sx.shape[0])
+        # pad lanes (ids beyond the true batch were handled by benign
+        # samples in prep; OV accepts or rejects them — mark done instead)
+        st_i[0, :, :] = _pk_make(
+            jnp.maximum(ok_i, (_lane_ids(sx.shape, row_base)
+                               >= scal_ref[6].astype(jnp.int32))
+                        .astype(jnp.int32)),
+            tries, jnp.zeros_like(tries), home_row,
+        )
+
+        def region_round(h):
+            p = st_i[0, 0:h, :]
+            r_ok, r_tries, _, r_row = _pk_fields(p)
+            r_lane = jax.lax.broadcasted_iota(jnp.int32, (h, LANES), 1)
+            r_ids = (row_base + r_row) * LANES + r_lane
+            att = attempt_on(
+                st_f[0, 0:h, :], st_f[1, 0:h, :], st_f[2, 0:h, :]
+            )
+            pending = (r_ok == 0) & (r_tries < max_total)
+            ctr = r_tries + 1
+            u1 = _hash_uniform(r_ids, seed, ctr, 0x11111111)
+            u2 = _hash_uniform(r_ids, seed, ctr, 0x22222222)
+            nlx, nly, ndx, ndy, ndz, nok = att(u1, u2)
+            new = [
+                jnp.where(pending, n, st_f[3 + k, 0:h, :])
+                for k, n in enumerate((nlx, nly, ndx, ndy, ndz))
+            ]
+            for k, v in enumerate(new):
+                st_f[3 + k, 0:h, :] = v
+            ntries = jnp.where(pending, ctr, r_tries)
+            nok_i = jnp.where(pending, nok.astype(jnp.int32), r_ok)
+            st_i[0, 0:h, :] = _pk_make(
+                nok_i, ntries, jnp.zeros_like(ntries), r_row
+            )
+
+        _run_compaction(st_f, st_i, 8, rows, max_total, region_round)
+
+        key, arrays = _bitonic_unsort_rows(
+            st_i[0, :, :],
+            [st_f[3, :, :], st_f[4, :, :], st_f[5, :, :],
+             st_f[6, :, :], st_f[7, :, :]],
+            rows,
+            group_stride=8,
+        )
+        lx, ly, dx, dy, dz = arrays
+        _, tries, _, _ = _pk_fields(key)
+    elif has_ov:
+        ok_i = ok.astype(jnp.int32)
+        ids = _lane_ids(sx.shape, row_base)
 
         def cond(carry):
             rnd = carry[0]
-            return (rnd <= max_tries + 1) & jnp.any(carry[6] == 0)
+            return (rnd <= max_total) & jnp.any(carry[6] == 0)
 
         def body(carry):
             rnd, lx, ly, dx, dy, dz, ok_i, tries = carry
-            u1 = _hash_uniform(ids, seed, rnd, 0x11111111)
-            u2 = _hash_uniform(ids, seed, rnd, 0x22222222)
-            nlx, nly, ndx, ndy, ndz, nok = attempt(u1, u2)
+            if presampled:
+                # per-round streamed bokeh draws with row-rotation reuse
+                # (same scheme as the raytraced kernel; PARITY.md)
+                p = bu1_ref.shape[0]
+                cyc = (rnd - 1) // p
+                pidx = (rnd - 1) - cyc * p
+                rows_ = sx.shape[0]
+                u1 = bu1_ref[pl.ds(pidx, 1), :, :].reshape(rows_, LANES)
+                u2 = bu2_ref[pl.ds(pidx, 1), :, :].reshape(rows_, LANES)
+                u1 = _roll_rows_dyn(u1, cyc * 3)
+                u2 = _roll_rows_dyn(u2, cyc * 3)
+            else:
+                u1 = _hash_uniform(ids, seed, rnd, 0x11111111)
+                u2 = _hash_uniform(ids, seed, rnd, 0x22222222)
+            nlx, nly, ndx, ndy, ndz, nok = attempt(u1, u2, raw=presampled)
             pending = ok_i == 0
             lx = jnp.where(pending, nlx, lx)
             ly = jnp.where(pending, nly, ly)
@@ -850,7 +973,8 @@ def _thinlens_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "use_dof", "has_ov", "max_tries", "tile_rows", "interpret", "presampled"
+        "use_dof", "has_ov", "max_tries", "tile_rows", "interpret",
+        "presampled", "compact",
     ),
 )
 def thinlens_fused(
@@ -871,16 +995,21 @@ def thinlens_fused(
     tile_rows: int = DEF_TILE_ROWS,
     interpret: bool = False,
     presampled: bool = False,
+    compact: bool = True,
+    retry_u1: Array | None = None,
+    retry_u2: Array | None = None,
 ) -> Tuple[Array, Array, Array]:
     """Fused thin-lens generation.  Returns (origin[B,3], dir[B,3],
     tries[B]).  With ``presampled=True`` the (u1, u2) inputs are [-1,1]
     aperture offsets already drawn by an external sampler (image-based
-    bokeh); only valid without empirical vignetting (retries would need
-    fresh image-CDF draws)."""
-    assert not (presampled and has_ov)
+    bokeh); combined with empirical vignetting, the retry redraws come
+    from the streamed ``retry_u1/retry_u2`` ([P, B]) planes with
+    row-rotation reuse (same scheme as the raytraced kernel, PARITY.md)."""
     b = sx.shape[0]
     n_pad = -b % LANES
     rows = (b + n_pad) // LANES
+    while tile_rows >= 32 and rows <= tile_rows // 2:
+        tile_rows //= 2
     row_pad = -rows % tile_rows
     total_rows = rows + row_pad
 
@@ -889,6 +1018,17 @@ def thinlens_fused(
         return _pad_rows(a.reshape(rows, LANES), total_rows)
 
     ins = [prep(sx), prep(sy), prep(u1, 0.5), prep(u2, 0.5)]
+    n_planes = 0
+    if presampled and has_ov:
+        if retry_u1 is None:
+            retry_u1 = jnp.zeros((1, b), jnp.float32)
+            retry_u2 = jnp.zeros((1, b), jnp.float32)
+        n_planes = retry_u1.shape[0]
+        for pa in (retry_u1, retry_u2):
+            pa = jnp.pad(pa, ((0, 0), (0, n_pad)))
+            pa = pa.reshape(n_planes, rows, LANES)
+            pa = jnp.pad(pa, ((0, 0), (0, row_pad), (0, 0)))
+            ins.append(pa)
     scal = jnp.stack(
         [
             jnp.asarray(tan_fov, jnp.float32),
@@ -897,9 +1037,20 @@ def thinlens_fused(
             jnp.asarray(ov_distance, jnp.float32),
             jnp.asarray(ov_radius, jnp.float32),
             jnp.asarray(seed, jnp.float32),
-            jnp.float32(0.0),
+            jnp.float32(b),
             jnp.float32(0.0),
         ]
+    )
+    # era-fold compaction for the vignette retry loop (concentric draws
+    # only: presampled retry planes are round-indexed); same field-width
+    # and tile constraints as the raytraced machine
+    compact = (
+        compact
+        and has_ov
+        and not presampled
+        and max_tries + 2 < 64
+        and 16 <= tile_rows <= 256
+        and (tile_rows & (tile_rows - 1)) == 0
     )
 
     grid = (total_rows // tile_rows,)
@@ -910,16 +1061,34 @@ def thinlens_fused(
         jax.ShapeDtypeStruct((total_rows, LANES), jnp.float32) for _ in range(5)
     ] + [jax.ShapeDtypeStruct((total_rows, LANES), jnp.int32)]
 
+    in_specs = [blk] * 4
+    if presampled and has_ov:
+        in_specs += [
+            pl.BlockSpec(
+                (n_planes, tile_rows, LANES),
+                lambda i, *_: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ] * 2
     kernel = functools.partial(
-        _thinlens_kernel, use_dof, has_ov, max_tries, presampled
+        _thinlens_kernel, use_dof, has_ov, max_tries, presampled, compact
+    )
+    scratch_shapes = (
+        [
+            pltpu.VMEM((8, tile_rows, LANES), jnp.float32),
+            pltpu.VMEM((1, tile_rows, LANES), jnp.int32),
+        ]
+        if compact
+        else []
     )
     outs = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[blk] * 4,
+            in_specs=in_specs,
             out_specs=[blk] * 6,
+            scratch_shapes=scratch_shapes,
         ),
         out_shape=out_shape,
         interpret=pltpu.InterpretParams() if interpret else False,
@@ -1014,11 +1183,11 @@ def raytraced_fused(
     )
     # the compacted machine packs ok/tries/tir/home-row into one i32 plane
     # (6-bit try fields -> max_total+1 < 64; row field sized for <=256
-    # rows), and the bitonic network needs power-of-2 rows; presampled
-    # retry planes are per-round, which requires round-synchronous tries
+    # rows), and the bitonic network needs power-of-2 rows.  Presampled
+    # (bokeh) retries compact too: draws select per-lane among P x C
+    # rotated plane variants by the ray's own try counter.
     compact = (
         compact
-        and not presampled
         and max_total < 63
         and 16 <= tile_rows <= 256
         and (tile_rows & (tile_rows - 1)) == 0
