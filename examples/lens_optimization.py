@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import zoic_tpu as zt
 from zoic_tpu import trace
 from zoic_tpu.optics import V3

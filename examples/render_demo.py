@@ -13,6 +13,8 @@ import sys
 import jax
 import numpy as np
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import zoic_tpu as zt
 from zoic_tpu.diag import draw, dump, pupilplot, tape
 

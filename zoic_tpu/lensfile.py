@@ -94,8 +94,13 @@ def _tokenize(line: str) -> List[str]:
 def parse(path: str) -> LensPrescription:
     """Parse a tabular ``.dat`` lens file (raw: mm, front element first in
     file; returned rear-first per zoic.cpp:913)."""
-    with open(path, "r") as f:
-        text = f.read()
+    try:
+        with open(path, "r") as f:
+            text = f.read()
+    except OSError as e:
+        # the reference aborts the render on a missing/unreadable path
+        # (zoic.cpp:1639-1641); our abort class is LensFileError(ValueError)
+        raise LensFileError(f"cannot read lens data file {path!r}: {e}") from e
     return parse_text(text)
 
 
