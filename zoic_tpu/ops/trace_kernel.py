@@ -338,9 +338,10 @@ def _compaction_schedule(rows: int, max_total: int):
         h = rows // 4
         sched.append((h, (h, 2 * h, 3 * h), 1, 2))
     if rows > 8:
-        # 1 round per rep: 2 rounds/rep simmed 5% better on paper but
-        # measured -6% with the pupil pre-check on (each round already
-        # consumes up to 4 tries, so doubling rounds over-runs the region)
+        # 1 round per rep; scan every source region each rep.  Variants
+        # measured and rejected: 2 rounds/rep (-6% with the pre-check on),
+        # rotating 4 sources/rep via dynamic pl.ds slices (-12%: dynamic
+        # sublane offsets cost more than the skipped scans save).
         sched.append((8, tuple(range(8, rows, 8)), 1, max_total + 16))
     return sched
 
