@@ -91,3 +91,14 @@ def test_multiple_apertures_rejected(tmp_path):
     f.write_text("0 1 0 5\n10 1 1.5 5\n0 1 0 5\n")
     with pytest.raises(lensfile.LensFileError):
         lensfile.load(str(f))
+
+
+def test_missing_lens_file_raises_lensfileerror():
+    """Unreadable path -> LensFileError (the reference's render-abort
+    class, zoic.cpp:1639-1641), not a raw OSError."""
+    import pytest
+
+    from zoic_tpu.lensfile import LensFileError, parse
+
+    with pytest.raises(LensFileError):
+        parse("/nonexistent/lens.dat")

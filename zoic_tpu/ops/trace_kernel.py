@@ -207,7 +207,7 @@ def _hash_uniform(ids, seed, rnd, salt):
     return (h >> 8).astype(jnp.int32).astype(jnp.float32) * jnp.float32(2.0**-24)
 
 
-PRECHECK_DRAWS = 4  # candidate draws per retry round in profile mode
+PRECHECK_DRAWS = 4  # candidate draws per retry round in profile mode (6 measured -4.5%)
 
 BOKEH_PLANES = 4  # streamed retry-draw planes in presampled (bokeh) mode
 
