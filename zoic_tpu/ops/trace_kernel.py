@@ -1007,6 +1007,11 @@ def thinlens_fused(
     from the streamed ``retry_u1/retry_u2`` ([P, B]) planes with
     row-rotation reuse (same scheme as the raytraced kernel, PARITY.md)."""
     b = sx.shape[0]
+    if has_ov and not presampled and tile_rows == DEF_TILE_ROWS:
+        # the era-fold compacted vignette machine prefers bigger tiles
+        # (v5e sweep: 32: 1083M, 64: 1298M, 128: 1499M rays/s); 64 stays
+        # the default for the retry-free paths (r1 sweep)
+        tile_rows = 128
     n_pad = -b % LANES
     rows = (b + n_pad) // LANES
     while tile_rows >= 32 and rows <= tile_rows // 2:
