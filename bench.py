@@ -27,6 +27,15 @@ import zoic_tpu as zt
 
 TARGET_RAYS_PER_SEC = 1e9
 
+# Measured VPU issue-rate peak on this chip (tools/roofline.py, PERF_NOTES
+# "Measured VPU roofline"): ~0.80e12 element-ops/s sustained for the
+# kernel's op mix.  MFU below = useful-work ops / peak.
+VPU_PEAK_OPS = 0.80e12
+# Cost model per ray at the north-star config (PERF_NOTES "Gap
+# decomposition" r3): ~560 VPU ops per traced attempt x ~1.43 expected
+# traced attempts + ~70 ops x ~0.75 precheck-consumed draws.
+USEFUL_OPS_PER_RAY = 560 * 1.43 + 70 * 0.75
+
 
 def _samples(n, seed=0, raster=True):
     """Screen/lens sample arrays.  ``raster=True`` lays screen samples out
@@ -66,37 +75,54 @@ def bench_config(
     @jax.jit
     def step(key):
         def body(i, carry):
-            acc, vig = carry
+            acc, vig, tri = carry
             k = jax.random.fold_in(key, i)
-            rays, stats = zt.create_rays(state, cfg, sx, sy, lx, ly, k)
+            # fresh lens-sample uniforms EVERY generation: with
+            # loop-invariant samples XLA hoists per-ray sample prep (the
+            # image-bokeh CDF inversion in particular) out of the loop and
+            # the bokeh configs overstate steady-state throughput
+            # (VERDICT r2 #3); a renderer draws fresh lens samples per AA
+            # sample anyway.  Screen samples stay fixed (the pixel grid).
+            u = jax.random.uniform(k, (2,) + sx.shape, dtype=jnp.float32)
+            rays, stats = zt.create_rays(state, cfg, sx, sy, u[0], u[1], k)
             # consume outputs so nothing is dead-code eliminated
             acc = acc + jnp.sum(rays.weight) + jnp.sum(rays.dir[:, 0])
-            return acc, vig + stats.vignetted.astype(jnp.float32)
-        return jax.lax.fori_loop(0, inner, body, (jnp.float32(0.0),) * 2)
+            return (
+                acc,
+                vig + stats.vignetted.astype(jnp.float32),
+                tri + stats.tries_total.astype(jnp.float32),
+            )
+        return jax.lax.fori_loop(0, inner, body, (jnp.float32(0.0),) * 3)
 
     for i in range(warmup):
         out = step(jax.random.fold_in(base_key, 1000 + i))
-    jax.block_until_ready(out)
+    float(out[0])  # drain (block_until_ready doesn't fence the relay; r3)
 
-    times = []
-    for i in range(iters):
+    # burst timing: the axon relay executes dispatched programs FIFO and
+    # asynchronously (jax.block_until_ready does NOT fence it — PERF_NOTES
+    # r3 roofline section), so per-step wall clocks are unreliable.  Time a
+    # burst of dispatches drained by one scalar readback; median of 3
+    # bursts.  This also amortizes the fixed per-launch round-trip the way
+    # a renderer's frame loop would.
+    rates = []
+    tries_sum = vig_sum = 0.0
+    for rep in range(3):
         t0 = time.perf_counter()
-        out = step(jax.random.fold_in(base_key, i))
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    rays_per_sec = inner * n / times[len(times) // 2]
+        for i in range(iters):
+            out = step(jax.random.fold_in(base_key, rep * iters + i))
+        acc = float(out[0])  # forces the whole burst to completion
+        dt = time.perf_counter() - t0
+        rates.append(inner * n * iters / dt)
+        vig_sum += float(out[1])
+        tries_sum += float(out[2])
+    rates.sort()
+    rays_per_sec = rates[len(rates) // 2]
 
-    # efficiency telemetry: mean tries/ray (0 = first attempt succeeded)
-    rays, stats = zt.create_rays(
-        state, cfg, sx, sy, lx, ly, jax.random.fold_in(base_key, 9999)
-    )
-    vig_frac = float(out[1]) / (inner * n)
-    attempts = None
-    if cfg.lens_model == zt.LensModel.RAYTRACED:
-        # reconstruct mean attempts from the vignetting law is lossy; use
-        # the stats directly where exposed
-        attempts = float(1.0 + _mean_tries(state, cfg, sx, sy, lx, ly))
+    # efficiency telemetry straight from the timed loop's own RayStats:
+    # attempts/ray = 1 + mean tries (the straggler-waste signal), covering
+    # every path — raytraced, thin-lens vignette, presampled bokeh
+    vig_frac = vig_sum / (3 * inner * n)
+    attempts = 1.0 + tries_sum / (3 * inner * n)
     # drop this config's jit cache entry: its closed-over sample/state
     # buffers otherwise stay pinned on-device for the whole --all sweep
     # (measured: the headline config degrades 5x when run last)
@@ -108,23 +134,6 @@ def bench_config(
     }
 
 
-def _mean_tries(state, cfg, sx, sy, lx, ly):
-    """Mean retry count per ray (diagnostic; one extra generation)."""
-    from zoic_tpu.models import raytraced as _rt
-
-    if not _rt._use_pallas(cfg) or cfg.use_image or sx.ndim != 1:
-        return float("nan")
-    from zoic_tpu.ops import trace_kernel as _tk
-
-    _, _, tries, _ = _tk.raytraced_fused(
-        state.lens, sx, sy, lx, ly, state.sensor_width,
-        jnp.int32(777), max_tries=cfg.max_tries,
-        use_lut=bool(cfg.kolb_sampling_lut),
-        use_profile=bool(cfg.pupil_precheck and state.lens.profile is not None),
-    )
-    return float(jnp.mean(tries.astype(jnp.float32)))
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=1 << 22)
@@ -133,6 +142,11 @@ def main():
     ap.add_argument("--random-order", action="store_true",
                     help="shuffled sample order instead of raster order")
     ap.add_argument("--all", action="store_true", help="run all baseline configs")
+    ap.add_argument("--max-tries", type=int, default=None,
+                    help="override the retry budget (0 = single-attempt "
+                         "floor measurement for the gap decomposition)")
+    ap.add_argument("--no-precheck", action="store_true",
+                    help="disable the polar pupil pre-check")
     args = ap.parse_args()
 
     dg = zt.data.lens_path("double_gauss_f2.0")
@@ -144,6 +158,15 @@ def main():
         focal_distance=100.0,
         kolb_sampling_lut=True,
     )
+    if args.max_tries is not None or args.no_precheck:
+        import dataclasses
+
+        over = {}
+        if args.max_tries is not None:
+            over["max_tries"] = args.max_tries
+        if args.no_precheck:
+            over["pupil_precheck"] = False
+        north_star = dataclasses.replace(north_star, **over)
 
     if args.all:
         import numpy as np
@@ -197,11 +220,10 @@ def main():
                 )
         for name, cfg in extra.items():
             r = bench_config(cfg, args.batch, args.iters, args.inner)
-            att = r["attempts_per_ray"]
-            att_s = f", {att:.2f} attempts/ray" if att == att and att else ""
             print(
                 f"  {name}: {r['rays_per_sec']:.3e} rays/s "
-                f"(vignetted {r['vignetted_frac']:.3f}{att_s})",
+                f"(vignetted {r['vignetted_frac']:.3f}, "
+                f"{r['attempts_per_ray']:.2f} attempts/ray)",
                 file=sys.stderr,
             )
 
@@ -210,13 +232,11 @@ def main():
         raster=not args.random_order,
     )
     att = res["attempts_per_ray"]
-    # roofline telemetry: ~780 VPU ops per traced attempt (11-element
-    # Double-Gauss; counted in PERF_NOTES.md) -> effective useful VPU
-    # throughput.  Straggler/machinery waste shows up as the gap between
-    # this and the kernel's raw issue rate.
-    eff_tops = (
-        res["rays_per_sec"] * att * 780e-12 if att == att and att else None
-    )
+    # roofline telemetry (PERF_NOTES r3): useful-work VPU ops per ray from
+    # the cost model / measured issue-rate peak -> model FLOP utilization.
+    # Machinery waste (folds, unsort, round fixed costs) is 1 - mfu once
+    # the attempt floor itself is at the roofline.
+    mfu = res["rays_per_sec"] * USEFUL_OPS_PER_RAY / VPU_PEAK_OPS
     print(
         json.dumps(
             {
@@ -226,7 +246,8 @@ def main():
                 "vs_baseline": res["rays_per_sec"] / TARGET_RAYS_PER_SEC,
                 "attempts_per_ray": att,
                 "vignetted_frac": res["vignetted_frac"],
-                "effective_vpu_tops": eff_tops,
+                "vpu_peak_tops": VPU_PEAK_OPS / 1e12,
+                "mfu": mfu,
             }
         )
     )

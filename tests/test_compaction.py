@@ -35,11 +35,21 @@ def _run(cfg, state, n, compact, seed=12345, max_tries=25):
 
 
 @pytest.mark.parametrize(
-    "lut,precheck",
-    [(True, True), (True, False), (False, False)],
-    ids=["lut+precheck", "lut", "naive"],
+    "lut,precheck,max_tries",
+    [
+        (True, True, 6),
+        (True, False, 6),
+        (False, False, 6),
+        # whole-budget variants exercise every era of the fold schedule;
+        # slow in interpret mode (~100s each), run with --slow
+        pytest.param(True, True, 25, marks=pytest.mark.slow),
+        pytest.param(True, False, 25, marks=pytest.mark.slow),
+        pytest.param(False, False, 25, marks=pytest.mark.slow),
+    ],
+    ids=["lut+precheck", "lut", "naive",
+         "lut+precheck-full", "lut-full", "naive-full"],
 )
-def test_compact_matches_whole_tile(lut, precheck):
+def test_compact_matches_whole_tile(lut, precheck, max_tries):
     cfg = zt.CameraConfig(
         lens_model=zt.LensModel.RAYTRACED,
         lens_data_path=zt.data.lens_path("double_gauss_f2.0"),
@@ -49,15 +59,23 @@ def test_compact_matches_whole_tile(lut, precheck):
     )
     state = zt.compile_camera(cfg)
     n = 64 * 128 + 300  # >1 tile plus ragged padding
-    oF, dF, tF, tirF = _run(cfg, state, n, compact=False)
-    oT, dT, tT, tirT = _run(cfg, state, n, compact=True)
+    oF, dF, tF, tirF = _run(cfg, state, n, compact=False, max_tries=max_tries)
+    oT, dT, tT, tirT = _run(cfg, state, n, compact=True, max_tries=max_tries)
 
     # identical try accounting => identical weights, stats, vignetting
     np.testing.assert_array_equal(tF, tT)
     np.testing.assert_array_equal(tirF, tirT)
-    # identical attempt selection => payloads equal to codegen float noise
-    np.testing.assert_allclose(oF, oT, atol=3e-6)
-    np.testing.assert_allclose(dF, dT, atol=3e-6)
+    # identical attempt selection => payloads equal to codegen float noise.
+    # Rays that exhaust the budget (plentiful at mt=6, ~0.43^7 of rays) are
+    # compared loosely: their output is the frozen partial state of the
+    # LAST FAILED attempt, and a borderline cull decision flipping under
+    # the two programs' fma schedules can freeze a different element —
+    # legitimate float noise amplified, on rays whose weight is 0 anyway.
+    live = tF <= max_tries
+    np.testing.assert_allclose(oF[live], oT[live], atol=3e-6)
+    np.testing.assert_allclose(dF[live], dT[live], atol=3e-6)
+    np.testing.assert_allclose(oF, oT, atol=1e-3)
+    np.testing.assert_allclose(dF, dT, atol=1e-3)
     # sanity: retries actually happened (the machinery was exercised)
     assert (tF > 0).any()
 
@@ -80,6 +98,72 @@ def test_compact_tiny_budget():
     np.testing.assert_allclose(oF, oT, atol=3e-6)
     np.testing.assert_allclose(dF, dT, atol=3e-6)
     assert (tF == 1).any()  # some rays consumed the single retry
+
+
+def test_compact_presampled_bokeh():
+    """Compacted presampled-bokeh retries (VERDICT r2 #5): the draw
+    assignment is position-based (each pending ray reads streamed plane
+    ``t % P`` under a per-cycle rotation), so compacted vs uncompacted are
+    NOT bit-identical on retried rays — the A/B asserts what the scheme
+    guarantees instead: identical attempt-0 results, equivalent retry
+    outcome statistics, and exact try accounting."""
+    import zoic_tpu.bokeh as bokeh_mod
+
+    rng = np.random.default_rng(23)
+    h = w = 24
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = np.sqrt((yy - 11.5) ** 2 + (xx - 11.5) ** 2)
+    img = ((r > 4) & (r < 9)).astype(np.float32) + 0.01
+    image = bokeh_mod.build(np.stack([img] * 3, -1))
+
+    cfg = zt.CameraConfig(
+        lens_model=zt.LensModel.RAYTRACED,
+        lens_data_path=zt.data.lens_path("double_gauss_f2.0"),
+        focal_length=5.0, fstop=2.0, focal_distance=100.0,
+        kolb_sampling_lut=True, lut_bounds_samples=5_000,
+    )
+    state = zt.compile_camera(cfg)
+    n = 32 * 128 + 100
+    max_tries = 6
+    sx = jnp.asarray(rng.uniform(-1, 1, n).astype(np.float32))
+    sy = jnp.asarray(rng.uniform(-1, 1, n).astype(np.float32))
+    u = rng.uniform(0, 1, (2, n)).astype(np.float32)
+    l1, l2 = bokeh_mod.sample(image, jnp.asarray(u[0]), jnp.asarray(u[1]))
+    n_planes = min(trace_kernel.BOKEH_PLANES, max_tries + 1)
+    ur = rng.uniform(0, 1, (2, n_planes * n)).astype(np.float32)
+    r1, r2 = bokeh_mod.sample(image, jnp.asarray(ur[0]), jnp.asarray(ur[1]))
+    r1 = r1.reshape(n_planes, n)
+    r2 = r2.reshape(n_planes, n)
+
+    def run(compact):
+        o, d, t, tir = trace_kernel.raytraced_fused(
+            state.lens, sx, sy, l1, l2, state.sensor_width,
+            jnp.int32(4242), max_tries=max_tries, interpret=True,
+            compact=compact, use_lut=True, use_profile=False,
+            presampled=True, retry_u1=r1, retry_u2=r2,
+        )
+        return tuple(np.asarray(a) for a in (o, d, t, tir))
+
+    oF, dF, tF, _ = run(False)
+    oT, dT, tT, _ = run(True)
+
+    # attempt-0 is scheduling-independent: rays both machines accepted
+    # first-try saw identical presampled offsets
+    first = (tF == 0) & (tT == 0)
+    assert first.sum() > 0.3 * n
+    np.testing.assert_allclose(oF[first], oT[first], atol=3e-6)
+    np.testing.assert_allclose(dF[first], dT[first], atol=3e-6)
+    # try accounting stays within budget on both machines
+    assert tF.max() <= max_tries + 1 and tT.max() <= max_tries + 1
+    # equivalent retry statistics (same draw distribution, different
+    # assignment): vignetted counts agree within MC noise
+    vF = (tF > max_tries).sum()
+    vT = (tT > max_tries).sum()
+    assert abs(int(vF) - int(vT)) < max(30, 0.15 * (int(vF) + 20))
+    assert np.isfinite(oT).all() and np.isfinite(dT).all()
+    # directions stay unit-norm through the compacted unsort
+    norm = np.linalg.norm(dT[tT <= max_tries], axis=-1)
+    np.testing.assert_allclose(norm, 1.0, atol=1e-4)
 
 
 @pytest.mark.parametrize("ovr", [0.6, 1.2], ids=["tight", "loose"])

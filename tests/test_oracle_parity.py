@@ -6,6 +6,7 @@ dependency; these tests enforce the BASELINE.json accuracy gate —
 <1e-5 ray-direction RMSE vs the C++ implementation — plus scalar golden
 agreement for every derived lens quantity, per lens file."""
 
+import hashlib
 import json
 import os
 import shutil
@@ -22,19 +23,41 @@ import zoic_tpu.solve as solve
 
 ORACLE_SRC = os.path.join(os.path.dirname(__file__), "..", "tools", "oracle", "oracle.cpp")
 
+# Full 8-lens golden sweeps are slow (interpret-mode traces per lens); the
+# default run keeps two representatives — the north-star Double-Gauss and
+# the most numerically extreme design (fisheye: steep angles, heavy
+# vignetting) — and marks the rest ``slow`` (VERDICT r2 #4).
+_REPRESENTATIVE = {"double_gauss_f2.0", "fisheye_muller_f4.0"}
+
+
+def _lens_params():
+    return [
+        pytest.param(
+            n, marks=() if n in _REPRESENTATIVE else (pytest.mark.slow,)
+        )
+        for n in sorted(zt.data.LENSES)
+    ]
+
 
 @pytest.fixture(scope="session")
-def oracle(tmp_path_factory):
+def oracle():
     if shutil.which("g++") is None:
         pytest.skip("g++ unavailable")
-    exe = tmp_path_factory.mktemp("oracle") / "zoic_oracle"
-    subprocess.run(
-        ["g++", "-O2", "-std=c++17", "-o", str(exe), ORACLE_SRC], check=True
-    )
+    # cache the compiled oracle across sessions, keyed by source hash
+    # (rebuilding every pytest session cost ~10s; VERDICT r2 #4)
+    with open(ORACLE_SRC, "rb") as f:
+        src_hash = hashlib.sha256(f.read()).hexdigest()[:16]
+    exe = f"/tmp/zoic_oracle_{src_hash}"
+    if not os.path.exists(exe):
+        tmp = f"{exe}.build.{os.getpid()}"
+        subprocess.run(
+            ["g++", "-O2", "-std=c++17", "-o", tmp, ORACLE_SRC], check=True
+        )
+        os.replace(tmp, exe)  # atomic under concurrent sessions
 
     def run(args, stdin=""):
         out = subprocess.run(
-            [str(exe)] + [str(a) for a in args],
+            [exe] + [str(a) for a in args],
             input=stdin,
             capture_output=True,
             text=True,
@@ -48,7 +71,7 @@ def oracle(tmp_path_factory):
 SOLVE_PARAMS = dict(focal_length=5.0, fstop=2.0, focal_distance=100.0)
 
 
-@pytest.mark.parametrize("name", sorted(zt.data.LENSES))
+@pytest.mark.parametrize("name", _lens_params())
 def test_solve_golden(oracle, name):
     """Every derived quantity of the lens-compile pipeline matches the C++
     oracle (reference pipeline zoic.cpp:1615-1698)."""
@@ -89,7 +112,7 @@ def test_solve_golden(oracle, name):
     )
 
 
-@pytest.mark.parametrize("name", sorted(zt.data.LENSES))
+@pytest.mark.parametrize("name", _lens_params())
 def test_raytraced_first_attempt_rmse(oracle, name):
     """BASELINE gate: <1e-5 ray-direction RMSE vs the C++ implementation.
 
@@ -141,7 +164,7 @@ def test_raytraced_first_attempt_rmse(oracle, name):
     assert origin_rmse < 1e-4, f"origin RMSE {origin_rmse}"
 
 
-@pytest.mark.parametrize("name", sorted(zt.data.LENSES))
+@pytest.mark.parametrize("name", _lens_params())
 def test_raytraced_lut_first_attempt_rmse(oracle, name):
     """North-star-config golden gate (VERDICT r1 #4): the LUT-shaped path —
     seeded exit-pupil LUT build (zoic.cpp:1391-1452) + shaping transform

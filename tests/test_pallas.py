@@ -65,16 +65,21 @@ def test_first_attempt_matches_jnp(samples, lut):
     assert float(np.sqrt(np.mean((o_j - o_p) ** 2))) < 1e-5
 
 
-def test_retry_rounds_distributional(samples):
+@pytest.mark.parametrize(
+    "max_tries",
+    [6, pytest.param(25, marks=pytest.mark.slow)],
+    ids=["mt6", "mt25"],
+)
+def test_retry_rounds_distributional(samples, max_tries):
     """With retries on, success/vignetted proportions and the accepted-ray
     geometry must agree between implementations (different RNG streams)."""
     sx, sy, u, v = samples
     key = jax.random.PRNGKey(1)
 
-    cfg_j = _cfg("jnp", max_tries=25)
+    cfg_j = _cfg("jnp", max_tries=max_tries)
     state = zt.compile_camera(cfg_j)
     rays_j, st_j = zt.create_rays(state, cfg_j, sx, sy, u, v, key)
-    cfg_p = _cfg("pallas", max_tries=25)
+    cfg_p = _cfg("pallas", max_tries=max_tries)
     rays_p, st_p = zt.create_rays(state, cfg_p, sx, sy, u, v, key)
 
     n = sx.shape[0]
@@ -92,9 +97,11 @@ def test_retry_rounds_distributional(samples):
 
 
 def test_pallas_no_iris_lens(samples):
+    # max_tries=6 keeps the interpret-mode run fast; the no-iris code path
+    # (cull_r_sq from clear aperture only) is fully exercised either way
     sx, sy, u, v = samples
     cfg = _cfg("pallas", lens="telephoto_f5.0", fstop=5.0, focal_length=10.0,
-               lut=True)
+               lut=True, max_tries=6)
     state = zt.compile_camera(cfg)
     rays, stats = zt.create_rays(state, cfg, sx, sy, u, v, jax.random.PRNGKey(2))
     assert bool(np.isfinite(np.asarray(rays.origin)).all())
@@ -116,7 +123,12 @@ def test_pallas_odd_batch_padding():
     assert int(stats.success) + int(stats.vignetted) == n
 
 
-def test_pallas_bokeh_image(samples, tmp_path):
+@pytest.mark.parametrize(
+    "max_tries",
+    [6, pytest.param(25, marks=pytest.mark.slow)],
+    ids=["mt6", "mt25"],
+)
+def test_pallas_bokeh_image(samples, tmp_path, max_tries):
     """Image-based bokeh through the fused kernel (presampled attempt-0 +
     streamed retry-draw planes): first-attempt successes are bit-comparable
     to the jnp path (identical presampled offsets through the same
@@ -131,10 +143,10 @@ def test_pallas_bokeh_image(samples, tmp_path):
     _np.save(path, _np.stack([img] * 3, -1))
 
     key = jax.random.PRNGKey(7)
-    cfg_j = _cfg("jnp", max_tries=25, use_image=True, bokeh_path=path)
+    cfg_j = _cfg("jnp", max_tries=max_tries, use_image=True, bokeh_path=path)
     state = zt.compile_camera(cfg_j)
     rays_j, st_j = zt.create_rays(state, cfg_j, sx, sy, u, v, key)
-    cfg_p = _cfg("pallas", max_tries=25, use_image=True, bokeh_path=path)
+    cfg_p = _cfg("pallas", max_tries=max_tries, use_image=True, bokeh_path=path)
     rays_p, st_p = zt.create_rays(state, cfg_p, sx, sy, u, v, key)
 
     n = sx.shape[0]

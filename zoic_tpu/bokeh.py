@@ -186,8 +186,11 @@ def sample(
     )[:, None]
     relcol_byr = jnp.take(rel, image.row_indices, axis=0)
 
-    # chunk so the [chunk, max(h, w)] intermediates stay bounded (~64MB
-    # f32); bigger chunks amortize the sequential lax.map dispatches
+    # chunk so the [chunk, max(h, w)] intermediates stay bounded: each such
+    # plane is 2^25 f32 = 128MB and _sample_chunk keeps a few live at once
+    # (one-hot, rowcdf, ordrow), so peak is some hundreds of MB — fine for
+    # a 16GB-HBM chip; bigger chunks amortize the sequential lax.map
+    # dispatches
     chunk = max(1024, (1 << 25) // max(h, w))
     if b <= chunk:
         return _sample_chunk(

@@ -77,8 +77,15 @@ def compile_camera(
             import jax as _jax
 
             prof_key = _jax.random.PRNGKey(1) if lut_key is None else _jax.random.fold_in(lut_key, 1)
-            profile = pupil.build_profile(lens, prof_key)
-            lens = dataclasses.replace(lens, profile=profile)
+            profile, key_acc = pupil.build_profile(lens, prof_key)
+            # dead-film fraction drives the retry machine's compaction
+            # regime (quantized to 1 decimal so same-shape lenses share
+            # jit cache entries; see LensSystem.dead_frac)
+            r_max = config.sensor_width * 0.5 * math.sqrt(2.0)
+            dead = pupil.dead_film_fraction(profile.keys, key_acc, r_max)
+            lens = dataclasses.replace(
+                lens, profile=profile, dead_frac=round(dead, 1)
+            )
 
     f32 = jnp.float32
     return CameraState(

@@ -143,7 +143,7 @@ def create_rays(
 
     d_ody, d_ddy = common.fake_derivatives(tries, origin, direction)
     weight = common.apply_exposure(weight, state.exposure_control)
-    stats = RayStats(n_ok, n_vig, tir_total)
+    stats = RayStats(n_ok, n_vig, tir_total, jnp.sum(tries, dtype=jnp.int32))
     return RayBatch(origin, direction, weight, d_ody, d_ddy), stats
 
 
@@ -228,5 +228,8 @@ def _create_rays_pallas(
     weight, n_ok, n_vig = common.weight_and_stats(tries, config.max_tries)
     d_ody, d_ddy = common.fake_derivatives(tries, origin, direction)
     weight = common.apply_exposure(weight, state.exposure_control)
-    stats = RayStats(n_ok, n_vig, jnp.sum(tir, dtype=jnp.int32))
+    stats = RayStats(
+        n_ok, n_vig, jnp.sum(tir, dtype=jnp.int32),
+        jnp.sum(tries, dtype=jnp.int32),
+    )
     return RayBatch(origin, direction, weight, d_ody, d_ddy), stats

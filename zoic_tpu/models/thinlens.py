@@ -116,7 +116,7 @@ def create_rays(
         direction = jnp.stack([pd.x, pd.y, pd.z * -1.0], axis=-1)
         weight = common.apply_exposure(jnp.ones(b, jnp.float32), state.exposure_control)
         d_ody, d_ddy = common.fake_derivatives(tries, origin, direction)
-        stats = RayStats(jnp.int32(0), jnp.int32(0), tir_total)
+        stats = RayStats(jnp.int32(0), jnp.int32(0), tir_total, jnp.int32(0))
         return RayBatch(origin, direction, weight, d_ody, d_ddy), stats
 
     ok0, payload0 = _dof_attempt(state, config, pd.x, pd.y, pd.z, lensx, lensy)
@@ -143,7 +143,7 @@ def create_rays(
 
     d_ody, d_ddy = common.fake_derivatives(tries, origin, direction)
     weight = common.apply_exposure(weight, state.exposure_control)
-    stats = RayStats(n_ok, n_vig, tir_total)
+    stats = RayStats(n_ok, n_vig, tir_total, jnp.sum(tries, dtype=jnp.int32))
     return RayBatch(origin, direction, weight, d_ody, d_ddy), stats
 
 
@@ -200,5 +200,5 @@ def _create_rays_pallas(
         n_vig = jnp.int32(0)
     d_ody, d_ddy = common.fake_derivatives(tries, origin, direction)
     weight = common.apply_exposure(weight, state.exposure_control)
-    stats = RayStats(n_ok, n_vig, jnp.int32(0))
+    stats = RayStats(n_ok, n_vig, jnp.int32(0), jnp.sum(tries, dtype=jnp.int32))
     return RayBatch(origin, direction, weight, d_ody, d_ddy), stats

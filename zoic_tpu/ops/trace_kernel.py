@@ -60,8 +60,13 @@ DEF_RT_TILE_ROWS = 128  # raytraced tile: with in-kernel straggler
 
 def _pack_elements(lens: LensSystem) -> Array:
     """Pack per-element trace constants into an f32[E, 8] SMEM table:
-    [center_z, curvature, inv_curvature, r_sq, cull_r_sq, eta, tir_possible,
-    sign_r]."""
+    [center_z, curvature, inv_curvature, r_sq, cull_r_sq, eta, tir_thr,
+    sign_r].
+
+    ``tir_thr`` is the cs2 threshold for total internal reflection: 1.0
+    where TIR is possible (ior decreasing, zoic.cpp:1135) and +inf where it
+    is not — folding the reference's ``ior > ior_next`` gate into the
+    compare itself saves a vector AND per element in the hot loop."""
     e = lens.count
     ior_next = jnp.concatenate([lens.ior[1:], jnp.ones((1,), jnp.float32)])
     half_ap = lens.aperture * 0.5
@@ -72,7 +77,7 @@ def _pack_elements(lens: LensSystem) -> Array:
             jnp.minimum(cull_r_sq[lens.aperture_element], ua_sq)
         )
     eta = lens.ior / ior_next
-    tir_possible = (lens.ior > ior_next).astype(jnp.float32)
+    tir_thr = jnp.where(lens.ior > ior_next, 1.0, jnp.inf).astype(jnp.float32)
     sign_r = jnp.where(lens.curvature < 0.0, -1.0, 1.0).astype(jnp.float32)
     return jnp.stack(
         [
@@ -82,7 +87,7 @@ def _pack_elements(lens: LensSystem) -> Array:
             lens.curvature * lens.curvature,
             cull_r_sq,
             eta,
-            tir_possible,
+            tir_thr,
             sign_r,
         ],
         axis=1,
@@ -103,31 +108,70 @@ def _fast_cos(x):
     return _fast_sin(x + PI * 0.5)
 
 
+def _sin_poly(x):
+    """The fastSin quadratic-fit polynomial WITHOUT range reduction —
+    callers guarantee x in [-pi, pi] (the poly equals zoic.cpp:661-668
+    exactly there: its floor reduction is the identity on that range;
+    both endpoints evaluate to 0 either way)."""
+    b = 4.0 / PI
+    c = -4.0 / (PI * PI)
+    y = b * x + c * x * jnp.abs(x)
+    p = 0.225
+    return p * (y * jnp.abs(y) - y) + y
+
+
 def _concentric(u1, u2):
-    # zoic.cpp:686-704 semantics (see sampling.concentric_disk_sample)
+    """Concentric disk map, zoic.cpp:686-704 semantics (see
+    sampling.concentric_disk_sample), restructured per the measured
+    roofline (PERF_NOTES r3): ONE divide (num/den selected by branch)
+    instead of two, and the fastSin floor reductions replaced by a single
+    conditional 2pi shift — phi is in (-pi/4, 3pi/4], so sin needs no
+    reduction and cos(phi) = sin(phi + pi/2) needs one subtract iff
+    phi > pi/2 (bit-equal to the floor form on this range)."""
     a = 2.0 * u1 - 1.0
     b = 2.0 * u2 - 1.0
     use_a = (a * a) > (b * b)
     r = jnp.where(use_a, a, b)
-    safe_a = jnp.where(use_a, a, 1.0)
-    safe_b = jnp.where(use_a, 1.0, jnp.where(b == 0.0, 1.0, b))
-    phi = jnp.where(
-        use_a, PI_OVER_4 * (b / safe_a), PI_OVER_2 - PI_OVER_4 * (a / safe_b)
-    )
-    return r * _fast_cos(phi), r * _fast_sin(phi)
+    num = jnp.where(use_a, b, a)
+    den = jnp.where(use_a, a, b)
+    den = jnp.where(den == 0.0, 1.0, den)
+    q = PI_OVER_4 * (num / den)
+    phi = jnp.where(use_a, q, PI_OVER_2 - q)
+    xc = phi + PI * 0.5
+    xc = jnp.where(xc > PI, xc - 2 * PI, xc)
+    return r * _sin_poly(xc), r * _sin_poly(phi)
+
+
+def _fast_sqrt(x):
+    """sqrt(x) for x >= 0 as x * rsqrt(x): the measured v5e rooflines are
+    sqrt 3.7 cycles vs rsqrt 1.0 (PERF_NOTES r3), and the ~2-ulp error is
+    far inside the 1e-5 parity gate.  The max() guard keeps x=0 exact
+    (0 * rsqrt(tiny) = 0) instead of 0 * inf = NaN."""
+    return x * jax.lax.rsqrt(jnp.maximum(x, jnp.float32(1e-35)))
 
 
 def _trace_block(elems_ref, n_elems, ox, oy, oz, dx, dy, dz):
     """Unrolled element-stack trace on one ray tile (values, not refs).
 
     Returns (ox, oy, oz, dx, dy, dz, ok, tir_any) with the reference's
-    frozen-state failure semantics (zoic.cpp:1099-1158).  Directions are
-    normalized once here; see module docstring for the precision argument.
-    """
+    frozen-state failure semantics (zoic.cpp:1099-1158): a ray that misses
+    / culls / TIRs keeps the position of its last reached hit and its
+    pre-failure direction.  Directions are normalized once here; see module
+    docstring for the precision argument.
+
+    Restructured in r3 against the measured VPU roofline (PERF_NOTES):
+    ~49 cycles/element vs ~66 for the mask-chain form.  The per-element
+    control state is ONE latched ``fail`` flag; position updates merge
+    through 3 selects, direction updates through a masked (eta, k) pair
+    (fail -> (1, 0), i.e. identity) instead of per-component selects; the
+    chord distance reuses last element's hit radius (``o2``); both sqrts
+    use the rsqrt form; the TIR gate is a single compare against the
+    packed per-element threshold (1 or +inf)."""
     inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
     dx, dy, dz = dx * inv, dy * inv, dz * inv
-    active = jnp.ones_like(ox, dtype=jnp.bool_)
+    fail = jnp.zeros_like(ox, dtype=jnp.bool_)
     tir_any = jnp.zeros_like(ox, dtype=jnp.bool_)
+    o2 = ox * ox + oy * oy  # carried |hit_xy|^2 of the current position
 
     for i in range(n_elems):
         cz = elems_ref[i, 0]
@@ -135,44 +179,45 @@ def _trace_block(elems_ref, n_elems, ox, oy, oz, dx, dy, dz):
         r_sq = elems_ref[i, 3]
         cull_r_sq = elems_ref[i, 4]
         eta = elems_ref[i, 5]
-        tir_possible = elems_ref[i, 6]
+        tir_thr = elems_ref[i, 6]
         sign_r = elems_ref[i, 7]
 
-        lx = 0.0 - ox
-        ly = 0.0 - oy
+        # sphere intersect with the on-axis center (0, 0, cz):
+        # L = c - o has Lx = -ox, Ly = -oy, so the dot products reduce
         lz = cz - oz
-        tca = lx * dx + ly * dy + lz * dz
-        d2 = (lx * lx + ly * ly + lz * lz) - tca * tca
-        miss = d2 > r_sq
-        thc = jnp.sqrt(jnp.abs(r_sq - d2))
+        tca = lz * dz - (ox * dx + oy * dy)
+        d2 = (o2 + lz * lz) - tca * tca
+        thc = _fast_sqrt(jnp.abs(r_sq - d2))
         t = tca + thc * sign_r
         hx = ox + dx * t
         hy = oy + dy * t
-        hz = oz + dz * t
-        hit2 = hx * hx + hy * hy
-        cull = hit2 > cull_r_sq
+        h2 = hx * hx + hy * hy
+        fail = fail | (d2 > r_sq) | (h2 > cull_r_sq)
 
-        reached = active & ~miss & ~cull
-        ox = jnp.where(reached, hx, ox)
-        oy = jnp.where(reached, hy, oy)
-        oz = jnp.where(reached, hz, oz)
+        # move live rays only: frozen state = last reached hit
+        ox = jnp.where(fail, ox, hx)
+        oy = jnp.where(fail, oy, hy)
+        oz = jnp.where(fail, oz, oz + dz * t)
+        o2 = jnp.where(fail, o2, h2)
 
-        # normal = (center - hit) / signed_radius  (== normalize * sign)
-        nx = (0.0 - hx) * inv_r
-        ny = (0.0 - hy) * inv_r
-        nz = (cz - hz) * inv_r
-        c1 = -(dx * nx + dy * ny + dz * nz)
+        # refract via the unscaled w = c - hit (one inv_r scale on the dot
+        # and one on k instead of three on the normal components):
+        # c1 = -(d . w)/R = ((ox dx + oy dy) - wz dz) * inv_r
+        wz = cz - oz
+        c1 = ((ox * dx + oy * dy) - wz * dz) * inv_r
         cs2 = (eta * eta) * (1.0 - c1 * c1)
-        tir = reached & (tir_possible > 0.0) & (cs2 > 1.0)
-        k = eta * c1 - jnp.sqrt(jnp.abs(1.0 - cs2))
-        alive = reached & ~tir
-        dx = jnp.where(alive, dx * eta + nx * k, dx)
-        dy = jnp.where(alive, dy * eta + ny * k, dy)
-        dz = jnp.where(alive, dz * eta + nz * k, dz)
+        tir = (cs2 > tir_thr) & ~fail
         tir_any = tir_any | tir
-        active = alive
+        fail = fail | tir
+        k = eta * c1 - _fast_sqrt(jnp.abs(1.0 - cs2))
+        # failed rays refract by the identity: d' = 1*d + 0*w
+        kk = jnp.where(fail, 0.0, k * inv_r)
+        ee = jnp.where(fail, 1.0, eta)
+        dx = dx * ee - ox * kk
+        dy = dy * ee - oy * kk
+        dz = dz * ee + wz * kk
 
-    return ox, oy, oz, dx, dy, dz, active, tir_any
+    return ox, oy, oz, dx, dy, dz, ~fail, tir_any
 
 
 def _lane_ids(shape, row_base):
@@ -283,8 +328,11 @@ def _shaping_from_table(shap_ref, n_keys, spacing, fx, fy,
     streaming the 7 per-ray results from HBM costs more than recomputing
     them (the kernel is grid-DMA-bound; see PERF_NOTES)."""
     dist = jnp.sqrt(fx * fx + fy * fy)
+    # ceil(dist / spacing), NOT ceil(dist * (1/spacing)): the reciprocal-
+    # multiply can round differently at key multiples and flip the bracket
+    # vs pupil.lut_lookup / the C++ oracle (ADVICE r2)
     i_lb = jnp.clip(
-        jnp.ceil(dist * (1.0 / spacing)).astype(jnp.int32), 0, n_keys - 1
+        jnp.ceil(dist / spacing).astype(jnp.int32), 0, n_keys - 1
     )
     i_prev = jnp.maximum(i_lb - 1, 0)
     lower = i_lb.astype(jnp.float32) * spacing
@@ -318,7 +366,9 @@ def _shaping_from_table(shap_ref, n_keys, spacing, fx, fy,
     return out
 
 
-def _compaction_schedule(rows: int, max_total: int):
+def _compaction_schedule(rows: int, max_total: int,
+                         dead_heavy: bool = False,
+                         draws_per_round: int = 1):
     """Era pyramid for in-kernel straggler compaction.
 
     Each era = (region_h, fold_src_offsets, rounds_per_rep, max_reps): fold
@@ -329,7 +379,20 @@ def _compaction_schedule(rows: int, max_total: int):
     while loop.  Offsets and rep counts follow the Monte-Carlo schedule
     search recorded in PERF_NOTES.md (expected ~4.3 full-tile attempt-
     equivalents vs ~12 uncompacted at the Double-Gauss acceptance p~0.57);
-    the while-loop early exits make easy tiles cheap."""
+    the while-loop early exits make easy tiles cheap.
+
+    ``dead_heavy`` selects the low-acceptance regime (lens.dead_frac high:
+    fisheye-class designs where a large film fraction is vignetted by
+    design, zoic.cpp:1458-1544): those rays stay pending until the budget
+    exhausts, so folds cannot shrink the working set — run whole-tile
+    rounds (each consuming ``draws_per_round`` draws via the pre-check)
+    until the budget drains, then a small pyramid mops up stragglers."""
+    if dead_heavy:
+        n_budget = -(-max_total // max(draws_per_round, 1)) + 1
+        sched = [(rows, (), 1, n_budget)]
+        if rows > 8:
+            sched.append((8, tuple(range(8, rows, 8)), 1, max_total + 16))
+        return sched
     sched = []
     if rows >= 16:
         h = rows // 2
@@ -346,7 +409,8 @@ def _compaction_schedule(rows: int, max_total: int):
     return sched
 
 
-def _run_compaction(st_f, st_i, n_f32, rows, max_total, region_round):
+def _run_compaction(st_f, st_i, n_f32, rows, max_total, region_round,
+                    dead_heavy=False, draws_per_round=1):
     """Drive the era-fold straggler compaction over VMEM scratch state.
 
     ``st_f`` holds ``n_f32`` per-ray f32 planes, ``st_i[0]`` the packed
@@ -375,7 +439,9 @@ def _run_compaction(st_f, st_i, n_f32, rows, max_total, region_round):
         st_i[0, 0:h, :] = jnp.where(m, p_s, p_d)
         st_i[0, src_lo:src_lo + h, :] = jnp.where(m, p_d, p_s)
 
-    for h, srcs, n_rounds, max_rep in _compaction_schedule(rows, max_total):
+    for h, srcs, n_rounds, max_rep in _compaction_schedule(
+        rows, max_total, dead_heavy, draws_per_round
+    ):
         if max_rep == 0:
             for src_lo in srcs:
                 fold_pass(h, src_lo)
@@ -420,9 +486,11 @@ def _round_core(
     bit-identical under any retry scheduling (whole-tile loops, compacted
     regions) — the batched analog of the reference's sequential per-ray
     draw order.  ``draws`` (presampled-bokeh mode) overrides the hash draws
-    with externally-sampled aperture offsets for THIS round; only valid
-    with round-synchronous scheduling (uncompacted, no profile), where
-    every pending ray's try counter equals the round index."""
+    with externally-sampled aperture offsets for THIS round: per-ROUND
+    planes in the uncompacted loop, per-lane try-indexed plane selections
+    in the compacted machine (see the presampled branch of
+    ``region_round``); incompatible with ``use_profile`` (the pre-check
+    assumes concentric-disk candidates)."""
     pending = (ok_i == 0) & (tries < max_total)
     if not use_profile:
         if draws is not None:
@@ -454,7 +522,7 @@ def _round_core(
             u2 = _hash_uniform(ids, seed, ctr, 0x22222222)
             lx, ly = _concentric(u1, u2)
             rho2 = lx * lx + ly * ly
-            rho = jnp.sqrt(rho2)
+            rho = _fast_sqrt(rho2)
             cphi = lx / jnp.maximum(rho, 1e-9)
             bound = pc0 + pc1 * cphi + pc2 * (2.0 * cphi * cphi - 1.0)
             pass_j = rho <= bound
@@ -536,6 +604,7 @@ def _raytraced_kernel(
     compact: bool,     # in-kernel straggler compaction (fold eras)
     presampled: bool,  # u refs are [-1,1] bokeh offsets; retry draws from
     #                    streamed planes (image-based bokeh mode)
+    dead_heavy: bool,  # low-acceptance schedule regime (lens.dead_frac)
     *refs,
     # ref layout (in order):
     #   elems_ref   SMEM (E, 8)
@@ -710,11 +779,16 @@ def _raytraced_kernel(
             draws = None
             if presampled:
                 # per-lane draw for try t: streamed plane t % P, rotated by
-                # a distinct row shift per reuse cycle t // P, read at the
-                # ray's CURRENT region position.  Each (plane, shift,
-                # position) cell is consumed by at most one ray per try
-                # index, so draws stay iid bokeh samples; the assignment is
-                # position-based rather than identity-based (PARITY.md).
+                # a distinct (row, lane) shift per reuse cycle t // P, read
+                # at the ray's CURRENT region position.  The lane shift
+                # kicks in once the row shift's period h is exhausted
+                # (h can be 8 in the final era while n_cyc reaches 16), so
+                # every cycle's rotation is distinct within the try budget
+                # and a stuck ray can never re-read the draw it already
+                # failed (ADVICE r2).  Each (plane, shift, position) cell is
+                # consumed by at most one ray per try index, so draws stay
+                # iid bokeh samples; the assignment is position-based rather
+                # than identity-based (PARITY.md).
                 n_p = bu1_ref.shape[0]
                 n_cyc = (max_total - 1) // n_p + 1
                 pidx = jnp.where(r_tries < max_total, r_tries, 0)
@@ -727,8 +801,14 @@ def _raytraced_kernel(
                     b2 = bu2_ref[pp, 0:h, :]
                     for cc in range(n_cyc):
                         sh = (3 * cc) % h
-                        v1 = pltpu.roll(b1, sh, axis=0) if sh else b1
-                        v2 = pltpu.roll(b2, sh, axis=0) if sh else b2
+                        lsh = (7 * (cc // 8)) % LANES
+                        v1, v2 = b1, b2
+                        if sh:
+                            v1 = pltpu.roll(v1, sh, axis=0)
+                            v2 = pltpu.roll(v2, sh, axis=0)
+                        if lsh:
+                            v1 = pltpu.roll(v1, lsh, axis=1)
+                            v2 = pltpu.roll(v2, lsh, axis=1)
                         m = (pidx == pp) & (cyc == cc)
                         u1 = jnp.where(m, v1, u1)
                         u2 = jnp.where(m, v2, u2)
@@ -751,7 +831,11 @@ def _raytraced_kernel(
             st_f[pf["dz"], 0:h, :] = ndz
             st_i[0, 0:h, :] = _pk_make(nok, ntries, ntir, r_row)
 
-        _run_compaction(st_f, st_i, n_f32, rows, max_total, region_round)
+        _run_compaction(
+            st_f, st_i, n_f32, rows, max_total, region_round,
+            dead_heavy=dead_heavy,
+            draws_per_round=PRECHECK_DRAWS if use_profile else 1,
+        )
 
         # unsort: the packed word's high bits are the home row, so sorting
         # ascending by the packed key restores home order per lane column
@@ -855,8 +939,10 @@ def _thinlens_kernel(
             if has_ov:
                 vx = dx * ovd - lx
                 vy = dy * ovd - ly
-                hyp = jnp.sqrt(vx * vx + vy * vy)
-                ok = jnp.abs(hyp) < ap_radius * ovr
+                # reference wraps this in ABS() (zoic.cpp:1303) — identity
+                # on a sqrt, so dropped with the fast rsqrt form
+                hyp = _fast_sqrt(vx * vx + vy * vy)
+                ok = hyp < ap_radius * ovr
             else:
                 ok = jnp.ones_like(lx, dtype=jnp.bool_)
             return lx, ly, dx, dy, dz, ok
@@ -925,8 +1011,14 @@ def _thinlens_kernel(
         lx, ly, dx, dy, dz = arrays
         _, tries, _, _ = _pk_fields(key)
     elif has_ov:
-        ok_i = ok.astype(jnp.int32)
         ids = _lane_ids(sx.shape, row_base)
+        # mark pad lanes done at entry (as the compacted branch does) so
+        # ragged batches don't spin spare retry rounds on them; pad rows
+        # are dropped by the caller either way (VERDICT r2 #9)
+        ok_i = jnp.maximum(
+            ok.astype(jnp.int32),
+            (ids >= scal_ref[6].astype(jnp.int32)).astype(jnp.int32),
+        )
 
         def cond(carry):
             rnd = carry[0]
@@ -1177,10 +1269,15 @@ def raytraced_fused(
 
     ``presampled=True`` is the image-based-bokeh mode (zoic.cpp:1870, 1932
     redraws): (u1, u2) hold [-1,1] bokeh offsets for attempt #0 and
-    ``retry_u1/retry_u2`` ([P, B]) hold per-ROUND retry draws streamed into
-    the kernel; rounds past P reuse planes row-rotated by a distinct shift.
-    Requires round-synchronous retries, so compaction and the pupil
-    precheck are disabled in this mode.
+    ``retry_u1/retry_u2`` ([P, B]) hold streamed retry-draw planes.  The
+    pupil precheck is disabled (it assumes concentric-disk candidates), but
+    compaction stays on: the compacted machine selects each pending ray's
+    draw by its own try counter — plane ``t % P`` under a distinct
+    (row, lane) rotation per reuse cycle ``t // P`` — read at the ray's
+    current region position, so draws remain iid bokeh samples under
+    position-based assignment (PARITY.md).  The uncompacted loop instead
+    reads plane ``(round-1) % P`` row-rotated per cycle, round-
+    synchronously.
     """
     b = sx.shape[0]
     max_total = max_tries + 1
@@ -1266,7 +1363,7 @@ def raytraced_fused(
 
     kernel = functools.partial(
         _raytraced_kernel, n_elems, n_keys, max_total, use_lut, use_profile,
-        compact, presampled,
+        compact, presampled, lens.dead_frac >= 0.3,
     )
     n_f32 = len(_plane_layout(use_lut, use_profile))
     scratch_shapes = (

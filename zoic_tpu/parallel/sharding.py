@@ -81,6 +81,7 @@ def create_rays_sharded(
             jax.lax.psum(stats.success, AXIS),
             jax.lax.psum(stats.vignetted, AXIS),
             jax.lax.psum(stats.tir, AXIS),
+            jax.lax.psum(stats.tries_total, AXIS),
         )
         return rays, stats
 
@@ -94,7 +95,7 @@ def _raybatch_struct() -> RayBatch:
 
 def _raystats_struct() -> RayStats:
     z = 0
-    return RayStats(z, z, z)
+    return RayStats(z, z, z, z)
 
 
 def shard_samples(mesh: Mesh, *arrays: Array) -> Tuple[Array, ...]:

@@ -224,6 +224,11 @@ def build_profile(
     d = V3(px - fx, py - fy, jnp.zeros_like(fx) - lens.thickness[0])
     ok = trace.trace_stack(lens, V3(fx, fy, oz), d).ok
 
+    # per-key draw acceptance under the ACTIVE cover — the retry machine's
+    # scheduling signal (see acceptance_stats); uniform-disk draws make
+    # this exactly P(candidate survives | film at key k)
+    key_acceptance = jnp.mean(ok.astype(jnp.float32), axis=1)  # [K]
+
     # per-angle-bin max accepted radius
     bin_idx = jnp.clip(
         ((phi + jnp.pi) / (2.0 * jnp.pi) * n_angles).astype(jnp.int32),
@@ -246,7 +251,27 @@ def build_profile(
     c0 = (coef[0] + jnp.maximum(excess, 0.0) + 0.02) * 1.05
     c1 = coef[1] * 1.05
     c2 = coef[2] * 1.05
-    return PupilProfile(keys=keys, c0=c0, c1=c1, c2=c2)
+    return PupilProfile(keys=keys, c0=c0, c1=c1, c2=c2), key_acceptance
+
+
+def dead_film_fraction(keys, key_acceptance, r_max: float) -> float:
+    """Film-area-weighted fraction of profile keys whose per-draw
+    acceptance is below the budget's reach (a_k < 1/26: such rays are
+    vignetted by design and consume the whole 26-try budget,
+    zoic.cpp:1767).
+
+    ``keys`` are film radii; screen samples scale BOTH axes by
+    sensorWidth/2 (zoic.cpp:1853-1854), so a radius r carries annulus
+    weight ~ r, cut at ``r_max`` (the film square's circumradius
+    ``(sensor_width/2) * sqrt(2)``).  Compile-time scheduling heuristic
+    only (LensSystem.dead_frac; quantized by the caller)."""
+    import numpy as np
+
+    acc = np.asarray(key_acceptance, np.float64)
+    k = np.asarray(keys, np.float64)
+    w = np.where(k <= r_max, np.maximum(k, k[1] if k.shape[0] > 1 else 1.0), 0.0)
+    dead = acc < (1.0 / 26.0)
+    return float((w * dead).sum() / max(w.sum(), 1e-9))
 
 
 def profile_lookup(profile, dist: Array):

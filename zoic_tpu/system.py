@@ -95,6 +95,15 @@ class LensSystem:
     profile: Optional["PupilProfile"] = None
     # static (non-leaf) metadata
     aperture_element: int = dataclasses.field(metadata=dict(static=True), default=-1)
+    # Film-area fraction whose per-draw acceptance is so low the retry
+    # budget will exhaust ("vignetted by design", e.g. 57% for the fisheye —
+    # zoic.cpp:1458-1544's self-test shows those pupils).  Measured at
+    # profile-build time (pupil.acceptance_stats), QUANTIZED to one decimal
+    # so same-shape lenses share jit cache entries.  Drives the compaction
+    # schedule regime (trace_kernel._compaction_schedule): dead-heavy lenses
+    # keep whole-tile rounds until the budget drains, because folding can't
+    # shrink a working set that never resolves.
+    dead_frac: float = dataclasses.field(metadata=dict(static=True), default=0.0)
 
     @property
     def count(self) -> int:
@@ -157,6 +166,10 @@ class RayStats:
     success: Array     # i32[] rays that passed within the retry budget
     vignetted: Array   # i32[] rays zero-weighted after exhausting retries
     tir: Array         # i32[] total-internal-reflection events
+    # retry telemetry (no reference counter): total retry draws consumed
+    # beyond the first attempt — attempts/ray = 1 + tries_total / batch.
+    # The straggler-waste signal the retry machines optimize (bench.py).
+    tries_total: Array  # i32[]
 
     def vignetted_percent(self) -> Array:
         denom = self.success.astype(jnp.float32) + self.vignetted.astype(jnp.float32)
