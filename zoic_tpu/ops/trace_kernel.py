@@ -368,7 +368,9 @@ def _shaping_from_table(shap_ref, n_keys, spacing, fx, fy,
 
 def _compaction_schedule(rows: int, max_total: int,
                          dead_heavy: bool = False,
-                         draws_per_round: int = 1):
+                         draws_per_round: int = 1,
+                         era3_h: int = 8,
+                         era3_rounds: int = 1):
     """Era pyramid for in-kernel straggler compaction.
 
     Each era = (region_h, fold_src_offsets, rounds_per_rep, max_reps): fold
@@ -390,8 +392,11 @@ def _compaction_schedule(rows: int, max_total: int,
     if dead_heavy:
         n_budget = -(-max_total // max(draws_per_round, 1)) + 1
         sched = [(rows, (), 1, n_budget)]
-        if rows > 8:
-            sched.append((8, tuple(range(8, rows, 8)), 1, max_total + 16))
+        if rows > era3_h:
+            sched.append(
+                (era3_h, tuple(range(era3_h, rows, era3_h)),
+                 era3_rounds, max_total + 16)
+            )
         return sched
     sched = []
     if rows >= 16:
@@ -400,17 +405,36 @@ def _compaction_schedule(rows: int, max_total: int,
     if rows >= 32:
         h = rows // 4
         sched.append((h, (h, 2 * h, 3 * h), 1, 2))
-    if rows > 8:
-        # 1 round per rep; scan every source region each rep.  Variants
-        # measured and rejected: 2 rounds/rep (-6% with the pre-check on),
-        # rotating 4 sources/rep via dynamic pl.ds slices (-12%: dynamic
-        # sublane offsets cost more than the skipped scans save).
-        sched.append((8, tuple(range(8, rows, 8)), 1, max_total + 16))
+    if rows > era3_h:
+        # final-era knobs (era3_h, era3_rounds) are static sweep parameters:
+        # the optimum moved when the r3 trace rewrite cut the attempt cost
+        # relative to the fold-pass cost (PERF_NOTES r3 schedule sweep).
+        # r2-rejected variants under the OLD cost model: 2 rounds/rep -6%,
+        # rotating 4 sources/rep via dynamic pl.ds slices -12%.
+        sched.append(
+            (era3_h, tuple(range(era3_h, rows, era3_h)),
+             era3_rounds, max_total + 16)
+        )
     return sched
 
 
+def _sched_group_stride(sched, rows):
+    """Largest row-class stride the fold schedule preserves: the gcd of
+    every fold source offset.  Rays never leave their row class mod g, so
+    the unsort can run as independent (rows//g)-member grouped bitonics.
+    Returns ``rows`` when the schedule has no folds at all (rays never
+    move -> the unsort is the identity and can be skipped)."""
+    import math
+
+    g = 0
+    for _h, srcs, _r, _m in sched:
+        for o in srcs:
+            g = math.gcd(g, o)
+    return g if g else rows
+
+
 def _run_compaction(st_f, st_i, n_f32, rows, max_total, region_round,
-                    dead_heavy=False, draws_per_round=1):
+                    sched):
     """Drive the era-fold straggler compaction over VMEM scratch state.
 
     ``st_f`` holds ``n_f32`` per-ray f32 planes, ``st_i[0]`` the packed
@@ -439,9 +463,7 @@ def _run_compaction(st_f, st_i, n_f32, rows, max_total, region_round,
         st_i[0, 0:h, :] = jnp.where(m, p_s, p_d)
         st_i[0, src_lo:src_lo + h, :] = jnp.where(m, p_d, p_s)
 
-    for h, srcs, n_rounds, max_rep in _compaction_schedule(
-        rows, max_total, dead_heavy, draws_per_round
-    ):
+    for h, srcs, n_rounds, max_rep in sched:
         if max_rep == 0:
             for src_lo in srcs:
                 fold_pass(h, src_lo)
@@ -476,7 +498,7 @@ def _run_compaction(st_f, st_i, n_f32, rows, max_total, region_round,
 def _round_core(
     attempt, seed, max_total, use_profile,
     ids, pcs, ox, oy, oz, dx, dy, dz, ok_i, tries, tir_count,
-    draws=None,
+    draws=None, k_draws=PRECHECK_DRAWS,
 ):
     """One batched retry round (the body of zoic.cpp's resample loop,
     1879-1947) on arrays of any (h, 128) shape.
@@ -505,7 +527,7 @@ def _round_core(
         # Profile pre-check: a unit-disk candidate with
         # rho > c0 + c1 cos(phi) + c2 cos(2 phi) provably fails the
         # trace (build_profile's conservative bound), so up to
-        # PRECHECK_DRAWS failed tries are consumed per round for
+        # ``k_draws`` failed tries are consumed per round for
         # ~40 VPU ops each instead of a full trace.  The draw
         # sequence and per-try outcomes are exactly the reference's
         # (PARITY.md).
@@ -514,7 +536,7 @@ def _round_core(
         consumed = jnp.zeros_like(ok_i)
         cand1 = jnp.zeros_like(ox)
         cand2 = jnp.zeros_like(ox)
-        for j in range(PRECHECK_DRAWS):
+        for j in range(k_draws):
             # draw j of this round is the ray's try #(tries + j): all
             # previous draws this round were consumed while found == 0
             ctr = tries + j
@@ -605,6 +627,8 @@ def _raytraced_kernel(
     presampled: bool,  # u refs are [-1,1] bokeh offsets; retry draws from
     #                    streamed planes (image-based bokeh mode)
     dead_heavy: bool,  # low-acceptance schedule regime (lens.dead_frac)
+    sched_knobs: tuple,  # (era3_h, era3_rounds, k_draws) — static sweep
+    #                      parameters (PERF_NOTES r3 schedule sweep)
     *refs,
     # ref layout (in order):
     #   elems_ref   SMEM (E, 8)
@@ -726,7 +750,7 @@ def _raytraced_kernel(
             out = _round_core(
                 attempt, seed, max_total, use_profile,
                 ids, pcs, ox, oy, oz, dx, dy, dz, ok_i, tries, tir_count,
-                draws=draws,
+                draws=draws, k_draws=sched_knobs[2],
             )
             return (rnd + 1,) + out
 
@@ -820,7 +844,7 @@ def _raytraced_kernel(
                 st_f[pf["oz"], 0:h, :], st_f[pf["dx"], 0:h, :],
                 st_f[pf["dy"], 0:h, :], st_f[pf["dz"], 0:h, :],
                 r_ok, r_tries, r_tir,
-                draws=draws,
+                draws=draws, k_draws=sched_knobs[2],
             )
             nox, noy, noz, ndx, ndy, ndz, nok, ntries, ntir = out
             st_f[pf["ox"], 0:h, :] = nox
@@ -831,27 +855,38 @@ def _raytraced_kernel(
             st_f[pf["dz"], 0:h, :] = ndz
             st_i[0, 0:h, :] = _pk_make(nok, ntries, ntir, r_row)
 
+        sched = _compaction_schedule(
+            rows, max_total, dead_heavy,
+            sched_knobs[2] if use_profile else 1,
+            sched_knobs[0], sched_knobs[1],
+        )
         _run_compaction(
-            st_f, st_i, n_f32, rows, max_total, region_round,
-            dead_heavy=dead_heavy,
-            draws_per_round=PRECHECK_DRAWS if use_profile else 1,
+            st_f, st_i, n_f32, rows, max_total, region_round, sched
         )
 
         # unsort: the packed word's high bits are the home row, so sorting
         # ascending by the packed key restores home order per lane column
         # (ties impossible: rows are unique within a lane) and the retry
-        # counters ride along in the key's low bits.
-        key, arrays = _bitonic_unsort_rows(
-            st_i[0, :, :],
-            [
-                st_f[pf["ox"], :, :], st_f[pf["oy"], :, :],
-                st_f[pf["oz"], :, :], st_f[pf["dx"], :, :],
-                st_f[pf["dy"], :, :], st_f[pf["dz"], :, :],
-            ],
-            rows,
-            group_stride=8,
-        )
-        ox, oy, oz, dx, dy, dz = arrays
+        # counters ride along in the key's low bits.  Group stride = gcd of
+        # the fold offsets (rays never leave their row class mod gcd); a
+        # schedule with no folds needs no unsort at all.
+        g = _sched_group_stride(sched, rows)
+        if g < rows:
+            key, arrays = _bitonic_unsort_rows(
+                st_i[0, :, :],
+                [
+                    st_f[pf["ox"], :, :], st_f[pf["oy"], :, :],
+                    st_f[pf["oz"], :, :], st_f[pf["dx"], :, :],
+                    st_f[pf["dy"], :, :], st_f[pf["dz"], :, :],
+                ],
+                rows,
+                group_stride=g,
+            )
+            ox, oy, oz, dx, dy, dz = arrays
+        else:
+            key = st_i[0, :, :]
+            ox, oy, oz = st_f[pf["ox"], :, :], st_f[pf["oy"], :, :], st_f[pf["oz"], :, :]
+            dx, dy, dz = st_f[pf["dx"], :, :], st_f[pf["dy"], :, :], st_f[pf["dz"], :, :]
         k_ok, k_tries, k_tir, _ = _pk_fields(key)
         packed = k_tries | (k_tir << 10) | (k_ok << 20)
 
@@ -999,14 +1034,16 @@ def _thinlens_kernel(
                 nok_i, ntries, jnp.zeros_like(ntries), r_row
             )
 
-        _run_compaction(st_f, st_i, 8, rows, max_total, region_round)
+        tl_sched = _compaction_schedule(rows, max_total)
+        _run_compaction(st_f, st_i, 8, rows, max_total, region_round,
+                        tl_sched)
 
         key, arrays = _bitonic_unsort_rows(
             st_i[0, :, :],
             [st_f[3, :, :], st_f[4, :, :], st_f[5, :, :],
              st_f[6, :, :], st_f[7, :, :]],
             rows,
-            group_stride=8,
+            group_stride=_sched_group_stride(tl_sched, rows),
         )
         lx, ly, dx, dy, dz = arrays
         _, tries, _, _ = _pk_fields(key)
@@ -1229,7 +1266,8 @@ def _shaping_table(lens: LensSystem, use_lut: bool, use_profile: bool):
     jax.jit,
     static_argnames=(
         "max_tries", "tile_rows", "interpret", "compact", "use_lut",
-        "use_profile", "presampled",
+        "use_profile", "presampled", "era3_h", "era3_rounds",
+        "precheck_draws",
     ),
 )
 def raytraced_fused(
@@ -1250,6 +1288,9 @@ def raytraced_fused(
     presampled: bool = False,
     retry_u1: Array | None = None,
     retry_u2: Array | None = None,
+    era3_h: int = 8,
+    era3_rounds: int = 1,
+    precheck_draws: int = PRECHECK_DRAWS,
 ) -> Tuple[Array, Array, Array, Array]:
     """Fused raytraced camera-ray generation, single launch: the whole
     retry budget runs in-kernel.
@@ -1364,6 +1405,7 @@ def raytraced_fused(
     kernel = functools.partial(
         _raytraced_kernel, n_elems, n_keys, max_total, use_lut, use_profile,
         compact, presampled, lens.dead_frac >= 0.3,
+        (era3_h, era3_rounds, precheck_draws),
     )
     n_f32 = len(_plane_layout(use_lut, use_profile))
     scratch_shapes = (
