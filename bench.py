@@ -142,6 +142,10 @@ def main():
     ap.add_argument("--random-order", action="store_true",
                     help="shuffled sample order instead of raster order")
     ap.add_argument("--all", action="store_true", help="run all baseline configs")
+    ap.add_argument("--only", type=str, default="",
+                    help="with --all: comma list of substrings; run only "
+                         "matching extra configs (skips the headline too "
+                         "unless 'headline' matches)")
     ap.add_argument("--max-tries", type=int, default=None,
                     help="override the retry budget (0 = single-attempt "
                          "floor measurement for the gap decomposition)")
@@ -219,6 +223,10 @@ def main():
                     focal_length=focal, fstop=fstop, focal_distance=focus,
                 )
         for name, cfg in extra.items():
+            if args.only and not any(
+                s in name for s in args.only.split(",")
+            ):
+                continue
             r = bench_config(cfg, args.batch, args.iters, args.inner)
             print(
                 f"  {name}: {r['rays_per_sec']:.3e} rays/s "
@@ -227,6 +235,8 @@ def main():
                 file=sys.stderr,
             )
 
+    if args.only and "headline" not in args.only:
+        return
     res = bench_config(
         north_star, args.batch, args.iters, args.inner,
         raster=not args.random_order,

@@ -27,7 +27,8 @@ from zoic_tpu.ops import trace_kernel
 
 def measure(state, n, inner, *, max_tries, compact, use_lut, use_profile,
             tile_rows=128, iters=3, bursts=3, era3_h=8, era3_rounds=1,
-            precheck_draws=4):
+            precheck_draws=4, dead_heavy=None, era3_far_every=1,
+            bulk_draws=0):
     lens = state.lens
     u = jax.random.uniform(jax.random.PRNGKey(0), (4, n), dtype=jnp.float32)
     side = int(n ** 0.5)
@@ -44,6 +45,8 @@ def measure(state, n, inner, *, max_tries, compact, use_lut, use_profile,
                 use_lut=use_lut, use_profile=use_profile,
                 tile_rows=tile_rows, era3_h=era3_h,
                 era3_rounds=era3_rounds, precheck_draws=precheck_draws,
+                dead_heavy=dead_heavy, era3_far_every=era3_far_every,
+                bulk_draws=bulk_draws,
             )
             return acc + jnp.sum(d[:, 0]) + jnp.sum(t.astype(jnp.float32))
         return jax.lax.fori_loop(0, inner, body, jnp.float32(0.0))
@@ -83,33 +86,48 @@ def main():
                     help="schedule sweep: comma list of era3h/era3r/K "
                          "triples, e.g. 8/1/4,16/1/4,8/1/6,8/2/4 — runs "
                          "the 'precheck' variant with each")
+    ap.add_argument("--lens", type=str, default="double_gauss_f2.0")
+    ap.add_argument("--focal", type=float, default=5.0)
+    ap.add_argument("--fstop", type=float, default=2.0)
+    ap.add_argument("--focus", type=float, default=100.0)
+    ap.add_argument("--dead-heavy", type=str, default="auto",
+                    choices=("auto", "on", "off"),
+                    help="override the lens.dead_frac>=0.3 regime pick")
     args = ap.parse_args()
 
     cfg = zt.CameraConfig(
         lens_model=zt.LensModel.RAYTRACED,
-        lens_data_path=zt.data.lens_path("double_gauss_f2.0"),
-        focal_length=5.0, fstop=2.0, focal_distance=100.0,
+        lens_data_path=zt.data.lens_path(args.lens),
+        focal_length=args.focal, fstop=args.fstop,
+        focal_distance=args.focus,
         kolb_sampling_lut=True,
     )
+    dead_heavy = {"auto": None, "on": True, "off": False}[args.dead_heavy]
     state = zt.compile_camera(cfg)
     out = {}
     if args.sweep:
         for spec in args.sweep.split(","):
-            h, rr, k = (int(x) for x in spec.split("/"))
+            parts = [int(x) for x in spec.split("/")]
+            h, rr, k = parts[:3]
+            far = parts[3] if len(parts) > 3 else 1
+            bulk = parts[4] if len(parts) > 4 else 0
             r = measure(
                 state, args.batch, args.inner, max_tries=25, compact=True,
                 use_lut=True, use_profile=True, tile_rows=args.tile,
                 era3_h=h, era3_rounds=rr, precheck_draws=k,
+                dead_heavy=dead_heavy, era3_far_every=far,
+                bulk_draws=bulk,
             )
             out[spec] = r
-            print(f"  era3h={h:3d} rounds={rr} K={k}  {r/1e6:8.1f} M rays/s",
-                  file=sys.stderr)
+            print(f"  era3h={h:3d} rounds={rr} K={k} far={far} bulk={bulk}"
+                  f"  {r/1e6:8.1f} M rays/s", file=sys.stderr)
     else:
         for name in args.variants.split(","):
             mt, comp, lut, prof = VARIANTS[name]
             r = measure(
                 state, args.batch, args.inner, max_tries=mt, compact=comp,
                 use_lut=lut, use_profile=prof, tile_rows=args.tile,
+                dead_heavy=dead_heavy,
             )
             out[name] = r
             print(f"  {name:22s} {r/1e6:8.1f} M rays/s "

@@ -202,13 +202,20 @@ def _create_rays_pallas(
         if config.max_tries > 0:
             n_planes = min(trace_kernel.BOKEH_PLANES, config.max_tries + 1)
             b = sx.shape[0]
+            # quarter-batch retry planes: draws are cross-ray shared by
+            # construction (position-based assignment, PARITY.md), so grid
+            # tiles reuse plane blocks modulo the plane's tile count; this
+            # cuts the dominant per-generation bokeh.sample volume from
+            # (1+P)*B to (1+P/4)*B draws (the CDF inversion was ~70% of
+            # the raytraced-bokeh generation cost, PERF_NOTES r3)
+            bp = min(b, max(1 << 16, b // 4))
             u = jax.random.uniform(
-                jax.random.fold_in(key, 1), (2, n_planes * b),
+                jax.random.fold_in(key, 1), (2, n_planes * bp),
                 dtype=jnp.float32,
             )
             retry_u1, retry_u2 = bokeh_mod.sample(state.bokeh, u[0], u[1])
-            retry_u1 = retry_u1.reshape(n_planes, b)
-            retry_u2 = retry_u2.reshape(n_planes, b)
+            retry_u1 = retry_u1.reshape(n_planes, bp)
+            retry_u2 = retry_u2.reshape(n_planes, bp)
 
     origin, direction, tries, tir = trace_kernel.raytraced_fused(
         lens, sx, sy, lensx, lensy,

@@ -171,13 +171,16 @@ def _create_rays_pallas(
         if has_ov and config.max_tries > 0 and config.use_dof:
             n_planes = min(trace_kernel.BOKEH_PLANES, config.max_tries + 1)
             b1 = sx.shape[0]
+            # quarter-batch retry planes (tiles share blocks modulo the
+            # plane's tile count; see models/raytraced.py + PARITY.md)
+            bp = min(b1, max(1 << 16, b1 // 4))
             u = jax.random.uniform(
-                jax.random.fold_in(key, 1), (2, n_planes * b1),
+                jax.random.fold_in(key, 1), (2, n_planes * bp),
                 dtype=jnp.float32,
             )
             retry_u1, retry_u2 = bokeh_mod.sample(state.bokeh, u[0], u[1])
-            retry_u1 = retry_u1.reshape(n_planes, b1)
-            retry_u2 = retry_u2.reshape(n_planes, b1)
+            retry_u1 = retry_u1.reshape(n_planes, bp)
+            retry_u2 = retry_u2.reshape(n_planes, bp)
 
     seed = jax.random.randint(key, (), 0, 1 << 22)
     origin, direction, tries = trace_kernel.thinlens_fused(

@@ -366,22 +366,55 @@ def _shaping_from_table(shap_ref, n_keys, spacing, fx, fy,
     return out
 
 
+def _prep_retry_planes(retry_u1, retry_u2, tile_rows):
+    """Shape [P, Bp] presampled retry-draw planes for streaming.
+
+    ``Bp`` may be SMALLER than the ray batch: grid tiles read plane block
+    ``i % plane_tiles``, so a quarter-size plane serves the whole batch
+    with 4-way cross-tile sharing.  Retry draws are shared across rays by
+    construction (position-based assignment, PARITY.md), so shrinking the
+    planes only widens that sharing — each cell is still an iid draw from
+    the bokeh CDF — while cutting the dominant per-generation
+    ``bokeh.sample`` cost.  Short planes wrap (tile) rather than zero-pad
+    so padded rows keep the bokeh distribution.
+
+    Returns ([u1_planes, u2_planes] shaped (P, R, 128), plane_tiles)."""
+    n_planes, bp = retry_u1.shape
+    tile_area = tile_rows * LANES
+    target = -(-bp // tile_area) * tile_area
+    planes = []
+    for pa in (retry_u1, retry_u2):
+        if target > bp:
+            reps = -(-target // bp)
+            pa = jnp.tile(pa, (1, reps))[:, :target]
+        planes.append(pa.reshape(n_planes, target // LANES, LANES))
+    return planes, target // tile_area
+
+
 def _compaction_schedule(rows: int, max_total: int,
                          dead_heavy: bool = False,
                          draws_per_round: int = 1,
                          era3_h: int = 8,
-                         era3_rounds: int = 1):
+                         era3_rounds: int = 1,
+                         era2_drain: bool = False,
+                         era3_far_every: int = 1,
+                         bulk_draws: int = 0):
     """Era pyramid for in-kernel straggler compaction.
 
-    Each era = (region_h, fold_src_offsets, rounds_per_rep, max_reps): fold
-    passes swap pending rays from rows [src, src+h) into done lanes of rows
-    [0, h), then retry rounds run on rows [0, h) only.
+    Each era = (region_h, fold_src_offsets, rounds_per_rep, max_reps,
+    drain_above): fold passes swap pending rays from rows [src, src+h)
+    into done lanes of rows [0, h), then retry rounds run on rows [0, h)
+    only.  ``drain_above`` (when not None) makes the era's while-loop
+    exit as soon as no ray at row >= drain_above is pending — the era's
+    JOB is to evacuate the high rows, and it keeps folding until they
+    are clear, so LATER eras never need fold sources up there.
 
     ``max_reps == 0`` means the era runs ONCE as straight-line code — no
-    while loop.  Offsets and rep counts follow the Monte-Carlo schedule
-    search recorded in PERF_NOTES.md (expected ~4.3 full-tile attempt-
-    equivalents vs ~12 uncompacted at the Double-Gauss acceptance p~0.57);
-    the while-loop early exits make easy tiles cheap.
+    while loop.  The r3 shape (exhaustive mid era + narrow final era)
+    replaced the r2 full-sweep final era when the floor measurement moved
+    the fold:attempt cost ratio: scanning all rows//era3_h fold sources
+    per final-era rep cost ~90 tile-equivalent ops against a 35-op
+    region round (PERF_NOTES r3 "era2-exhaustive" section).
 
     ``dead_heavy`` selects the low-acceptance regime (lens.dead_frac high:
     fisheye-class designs where a large film fraction is vignetted by
@@ -390,30 +423,48 @@ def _compaction_schedule(rows: int, max_total: int,
     rounds (each consuming ``draws_per_round`` draws via the pre-check)
     until the budget drains, then a small pyramid mops up stragglers."""
     if dead_heavy:
-        n_budget = -(-max_total // max(draws_per_round, 1)) + 1
-        sched = [(rows, (), 1, n_budget)]
+        # budget-burn rounds are whole-tile (16 vregs of ILP ->
+        # throughput-bound), so they take a HIGHER pre-check draw count
+        # than the latency-bound prefix mop-up rounds: K applies per era
+        # (measured: global K=13 wins on fisheye's budget rounds but
+        # loses 1.6x through the mop-up pyramid; PERF_NOTES r3)
+        bulk = bulk_draws if bulk_draws else draws_per_round
+        n_budget = -(-max_total // max(bulk, 1)) + 1
+        sched = [(rows, (), 1, n_budget, None, 1, bulk_draws)]
         if rows > era3_h:
             sched.append(
                 (era3_h, tuple(range(era3_h, rows, era3_h)),
-                 era3_rounds, max_total + 16)
+                 era3_rounds, max_total + 16, None, era3_far_every, None)
             )
         return sched
     sched = []
     if rows >= 16:
         h = rows // 2
-        sched.append((h, (h,), 1, 1))
-    if rows >= 32:
-        h = rows // 4
-        sched.append((h, (h, 2 * h, 3 * h), 1, 2))
-    if rows > era3_h:
-        # final-era knobs (era3_h, era3_rounds) are static sweep parameters:
-        # the optimum moved when the r3 trace rewrite cut the attempt cost
-        # relative to the fold-pass cost (PERF_NOTES r3 schedule sweep).
-        # r2-rejected variants under the OLD cost model: 2 rounds/rep -6%,
-        # rotating 4 sources/rep via dynamic pl.ds slices -12%.
+        sched.append((h, (h,), 1, 1, None, 1, None))
+    mid = rows // 4
+    top = rows
+    if rows >= 32 and era2_drain and mid > era3_h:
+        # exhaustive mid era: fold until rows [mid, rows) hold no pending
+        # ray, so the final era's sources stay inside [era3_h, mid).
+        # Pays when rounds are cheap single-draw (no pre-check): +12%
+        # measured (393 -> 441M no-precheck).  With the 4-draw pre-check
+        # the extra h=mid rounds cost more than the final era's wide
+        # fold sweeps they replace (-2.4%), so era2_drain stays off for
+        # profile mode (PERF_NOTES r3).
         sched.append(
-            (era3_h, tuple(range(era3_h, rows, era3_h)),
-             era3_rounds, max_total + 16)
+            (mid, (mid, 2 * mid, 3 * mid), 1, max_total + 16, mid, 1, None)
+        )
+        top = mid
+    elif rows >= 32:
+        sched.append((mid, (mid, 2 * mid, 3 * mid), 1, 2, None, 1, None))
+    if rows > era3_h:
+        # final-era knobs (era3_h, era3_rounds) are static sweep
+        # parameters (PERF_NOTES r3 schedule sweep).  r2-rejected
+        # variants under the OLD cost model: 2 rounds/rep -6%, rotating
+        # 4 sources/rep via dynamic pl.ds slices -12%.
+        sched.append(
+            (era3_h, tuple(range(era3_h, top, era3_h)),
+             era3_rounds, max_total + 16, None, era3_far_every, None)
         )
     return sched
 
@@ -427,7 +478,7 @@ def _sched_group_stride(sched, rows):
     import math
 
     g = 0
-    for _h, srcs, _r, _m in sched:
+    for _h, srcs, _r, _m, _d, _f, _k in sched:
         for o in srcs:
             g = math.gcd(g, o)
     return g if g else rows
@@ -445,8 +496,12 @@ def _run_compaction(st_f, st_i, n_f32, rows, max_total, region_round,
     pathological acceptance rates.  Scheduling is invisible to results as
     long as the round's PRNG counters are per-ray try counts."""
 
-    def any_pending():
-        return jnp.any(_pk_pending(st_i[0, :, :], max_total))
+    def any_pending(above=None):
+        p = _pk_pending(st_i[0, :, :], max_total)
+        if above is not None:
+            row = jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
+            p = p & (row >= above)
+        return jnp.any(p)
 
     def fold_pass(h, src_lo):
         # Unconditional vector code: predicating on "source has pending"
@@ -463,22 +518,43 @@ def _run_compaction(st_f, st_i, n_f32, rows, max_total, region_round,
         st_i[0, 0:h, :] = jnp.where(m, p_s, p_d)
         st_i[0, src_lo:src_lo + h, :] = jnp.where(m, p_d, p_s)
 
-    for h, srcs, n_rounds, max_rep in sched:
+    for h, srcs, n_rounds, max_rep, drain_above, far_every, era_k in sched:
         if max_rep == 0:
             for src_lo in srcs:
                 fold_pass(h, src_lo)
             for _ in range(n_rounds):
-                region_round(h)
+                region_round(h, era_k)
             continue
 
-        def era_cond(rep, max_rep=max_rep):
-            return (rep < max_rep) & any_pending()
+        def era_cond(rep, max_rep=max_rep, drain_above=drain_above):
+            return (rep < max_rep) & any_pending(drain_above)
 
-        def era_body(rep, h=h, srcs=srcs, n_rounds=n_rounds):
-            for src_lo in srcs:
-                fold_pass(h, src_lo)
+        def era_body(rep, h=h, srcs=srcs, n_rounds=n_rounds,
+                     far_every=far_every, era_k=era_k):
+            if far_every > 1 and len(srcs) > 3:
+                # throttled sweep: scan the 3 nearest fold sources every
+                # rep, the full source list only every ``far_every``-th —
+                # high-row stragglers wait a few reps (they have budget
+                # to burn anyway) and the per-rep fold cost drops ~3x.
+                # Branching here is ONE scalar compare on the rep counter
+                # per rep, not the per-pass vector->scalar any() that
+                # made predicated folds 2x slower (r2 note above).
+                is_far = (rep % far_every) == (far_every - 1)
+
+                @pl.when(is_far)
+                def _():
+                    for src_lo in srcs:
+                        fold_pass(h, src_lo)
+
+                @pl.when(jnp.logical_not(is_far))
+                def _():
+                    for src_lo in srcs[:3]:
+                        fold_pass(h, src_lo)
+            else:
+                for src_lo in srcs:
+                    fold_pass(h, src_lo)
             for _ in range(n_rounds):
-                region_round(h)
+                region_round(h, era_k)
             return rep + 1
 
         jax.lax.while_loop(era_cond, era_body, jnp.int32(0))
@@ -489,7 +565,7 @@ def _run_compaction(st_f, st_i, n_f32, rows, max_total, region_round,
         return (rep < max_total + 2) & any_pending()
 
     def guard_body(rep):
-        region_round(rows)
+        region_round(rows, None)
         return rep + 1
 
     jax.lax.while_loop(guard_cond, guard_body, jnp.int32(0))
@@ -781,8 +857,11 @@ def _raytraced_kernel(
         st_i[0, :, :] = _pk_make(ok_i, tries, tir_count, home_row)
         row_base = pl.program_id(0) * rows
 
-        def region_round(h):
-            """One retry round on rows [0, h) of the scratch state."""
+        def region_round(h, era_k=None):
+            """One retry round on rows [0, h) of the scratch state.
+            ``era_k`` overrides the pre-check draw count for this era
+            (whole-tile budget eras take more draws per round than the
+            latency-bound prefix mop-up; see _compaction_schedule)."""
             if use_lut:
                 r_shape = tuple(
                     st_f[pf[nm], 0:h, :] for nm in ("ms", "trn", "sn", "cs")
@@ -844,7 +923,8 @@ def _raytraced_kernel(
                 st_f[pf["oz"], 0:h, :], st_f[pf["dx"], 0:h, :],
                 st_f[pf["dy"], 0:h, :], st_f[pf["dz"], 0:h, :],
                 r_ok, r_tries, r_tir,
-                draws=draws, k_draws=sched_knobs[2],
+                draws=draws,
+                k_draws=era_k if era_k else sched_knobs[2],
             )
             nox, noy, noz, ndx, ndy, ndz, nok, ntries, ntir = out
             st_f[pf["ox"], 0:h, :] = nox
@@ -859,6 +939,9 @@ def _raytraced_kernel(
             rows, max_total, dead_heavy,
             sched_knobs[2] if use_profile else 1,
             sched_knobs[0], sched_knobs[1],
+            era2_drain=not use_profile,
+            era3_far_every=sched_knobs[3],
+            bulk_draws=sched_knobs[4] if use_profile else 0,
         )
         _run_compaction(
             st_f, st_i, n_f32, rows, max_total, region_round, sched
@@ -1009,7 +1092,9 @@ def _thinlens_kernel(
             tries, jnp.zeros_like(tries), home_row,
         )
 
-        def region_round(h):
+        def region_round(h, era_k=None):
+            # era_k is the raytraced machine's per-era pre-check knob;
+            # the vignette machine has no pre-check, so it is unused
             p = st_i[0, 0:h, :]
             r_ok, r_tries, _, r_row = _pk_fields(p)
             r_lane = jax.lax.broadcasted_iota(jnp.int32, (h, LANES), 1)
@@ -1034,7 +1119,7 @@ def _thinlens_kernel(
                 nok_i, ntries, jnp.zeros_like(ntries), r_row
             )
 
-        tl_sched = _compaction_schedule(rows, max_total)
+        tl_sched = _compaction_schedule(rows, max_total, era2_drain=True)
         _run_compaction(st_f, st_i, 8, rows, max_total, region_round,
                         tl_sched)
 
@@ -1133,8 +1218,9 @@ def thinlens_fused(
     tries[B]).  With ``presampled=True`` the (u1, u2) inputs are [-1,1]
     aperture offsets already drawn by an external sampler (image-based
     bokeh); combined with empirical vignetting, the retry redraws come
-    from the streamed ``retry_u1/retry_u2`` ([P, B]) planes with
-    row-rotation reuse (same scheme as the raytraced kernel, PARITY.md)."""
+    from the streamed ``retry_u1/retry_u2`` ([P, Bp], Bp <= B; see
+    ``_prep_retry_planes``) planes with row-rotation reuse (same scheme
+    as the raytraced kernel, PARITY.md)."""
     b = sx.shape[0]
     if has_ov and not presampled and tile_rows == DEF_TILE_ROWS:
         # the era-fold compacted vignette machine prefers bigger tiles
@@ -1154,16 +1240,14 @@ def thinlens_fused(
 
     ins = [prep(sx), prep(sy), prep(u1, 0.5), prep(u2, 0.5)]
     n_planes = 0
+    plane_tiles = 1
     if presampled and has_ov:
         if retry_u1 is None:
-            retry_u1 = jnp.zeros((1, b), jnp.float32)
-            retry_u2 = jnp.zeros((1, b), jnp.float32)
+            retry_u1 = jnp.zeros((1, LANES), jnp.float32)
+            retry_u2 = jnp.zeros((1, LANES), jnp.float32)
         n_planes = retry_u1.shape[0]
-        for pa in (retry_u1, retry_u2):
-            pa = jnp.pad(pa, ((0, 0), (0, n_pad)))
-            pa = pa.reshape(n_planes, rows, LANES)
-            pa = jnp.pad(pa, ((0, 0), (0, row_pad), (0, 0)))
-            ins.append(pa)
+        planes, plane_tiles = _prep_retry_planes(retry_u1, retry_u2, tile_rows)
+        ins += planes
     scal = jnp.stack(
         [
             jnp.asarray(tan_fov, jnp.float32),
@@ -1201,7 +1285,7 @@ def thinlens_fused(
         in_specs += [
             pl.BlockSpec(
                 (n_planes, tile_rows, LANES),
-                lambda i, *_: (0, i, 0),
+                lambda i, *_, _pt=plane_tiles: (0, i % _pt, 0),
                 memory_space=pltpu.VMEM,
             )
         ] * 2
@@ -1267,7 +1351,8 @@ def _shaping_table(lens: LensSystem, use_lut: bool, use_profile: bool):
     static_argnames=(
         "max_tries", "tile_rows", "interpret", "compact", "use_lut",
         "use_profile", "presampled", "era3_h", "era3_rounds",
-        "precheck_draws",
+        "precheck_draws", "dead_heavy", "era3_far_every",
+        "bulk_draws",
     ),
 )
 def raytraced_fused(
@@ -1290,7 +1375,10 @@ def raytraced_fused(
     retry_u2: Array | None = None,
     era3_h: int = 8,
     era3_rounds: int = 1,
-    precheck_draws: int = PRECHECK_DRAWS,
+    precheck_draws: int | None = None,
+    dead_heavy: bool | None = None,
+    era3_far_every: int = 1,
+    bulk_draws: int = 0,
 ) -> Tuple[Array, Array, Array, Array]:
     """Fused raytraced camera-ray generation, single launch: the whole
     retry budget runs in-kernel.
@@ -1310,7 +1398,9 @@ def raytraced_fused(
 
     ``presampled=True`` is the image-based-bokeh mode (zoic.cpp:1870, 1932
     redraws): (u1, u2) hold [-1,1] bokeh offsets for attempt #0 and
-    ``retry_u1/retry_u2`` ([P, B]) hold streamed retry-draw planes.  The
+    ``retry_u1/retry_u2`` ([P, Bp], Bp <= B — grid tiles share plane
+    blocks modulo the plane's tile count, ``_prep_retry_planes``) hold
+    streamed retry-draw planes.  The
     pupil precheck is disabled (it assumes concentric-disk candidates), but
     compaction stays on: the compacted machine selects each pending ray's
     draw by its own try counter — plane ``t % P`` under a distinct
@@ -1354,17 +1444,13 @@ def raytraced_fused(
     # pad uniforms with 0.5 (center sample -> benign trace for pad lanes)
     ins = [prep(sx), prep(sy), prep(u1, 0.5), prep(u2, 0.5)]
     n_planes = 0
+    plane_tiles = 1
     if presampled:
         if retry_u1 is None:
-            retry_u1 = jnp.zeros((1, b), jnp.float32)
-            retry_u2 = jnp.zeros((1, b), jnp.float32)
+            retry_u1 = jnp.zeros((1, LANES), jnp.float32)
+            retry_u2 = jnp.zeros((1, LANES), jnp.float32)
         n_planes = retry_u1.shape[0]
-        planes = []
-        for pa in (retry_u1, retry_u2):
-            pa = jnp.pad(pa, ((0, 0), (0, n_pad)))
-            pa = pa.reshape(n_planes, rows, LANES)
-            pa = jnp.pad(pa, ((0, 0), (0, row_pad), (0, 0)))
-            planes.append(pa)
+        planes, plane_tiles = _prep_retry_planes(retry_u1, retry_u2, tile_rows)
         ins += planes
 
     elems = _pack_elements(lens)
@@ -1394,7 +1480,7 @@ def raytraced_fused(
         in_specs += [
             pl.BlockSpec(
                 (n_planes, tile_rows, LANES),
-                lambda i, *_: (0, i, 0),
+                lambda i, *_, _pt=plane_tiles: (0, i % _pt, 0),
                 memory_space=pltpu.VMEM,
             )
         ] * 2
@@ -1402,10 +1488,22 @@ def raytraced_fused(
         jax.ShapeDtypeStruct((total_rows, LANES), jnp.float32) for _ in range(6)
     ] + [jax.ShapeDtypeStruct((total_rows, LANES), jnp.int32)]
 
+    if dead_heavy is None:
+        dead_heavy = lens.dead_frac >= 0.3
+    if precheck_draws is None:
+        # per-lens pre-check draw budget (r3 K sweep, PERF_NOTES): VERY
+        # dead lenses burn whole budgets in whole-tile rounds where a
+        # deep draw chain is throughput-bound (fisheye, dead_frac 0.7:
+        # 246 -> 287M; petzval, 0.9: 260 -> 292M at K=13).  The
+        # telephoto class (dead_frac 0.5) still resolves most rays
+        # through the latency-bound mop-up prefix, where the deep chain
+        # loses badly (K=13: 63.9 vs K=4: 99.6M), so the shallow K=4
+        # stays its default, as for the high-acceptance double-gauss.
+        precheck_draws = 13 if lens.dead_frac >= 0.6 else PRECHECK_DRAWS
     kernel = functools.partial(
         _raytraced_kernel, n_elems, n_keys, max_total, use_lut, use_profile,
-        compact, presampled, lens.dead_frac >= 0.3,
-        (era3_h, era3_rounds, precheck_draws),
+        compact, presampled, dead_heavy,
+        (era3_h, era3_rounds, precheck_draws, era3_far_every, bulk_draws),
     )
     n_f32 = len(_plane_layout(use_lut, use_profile))
     scratch_shapes = (
