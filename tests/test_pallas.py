@@ -55,12 +55,21 @@ def test_first_attempt_matches_jnp(samples, lut):
 
     ok_j = np.asarray(rays_j.weight) > 0
     ok_p = np.asarray(rays_p.weight) > 0
-    np.testing.assert_array_equal(ok_j, ok_p)
+    # The fused kernel pre-checks the PRIMARY sample against the pupil
+    # profile (round-0 pre-check, r3).  The bound's MC cover tail can
+    # reject a borderline sample the trace would accept — the same risk
+    # class as the reference's own x1.05 LUT margin (zoic.cpp:1463;
+    # PARITY.md).  Tolerate <=0.2% one-sided flips: the kernel may only
+    # vignette extra, never accept a ray the exact trace rejects.
+    flips = ok_j != ok_p
+    assert not np.any(flips & ok_p), "kernel accepted a jnp-rejected ray"
+    assert flips.sum() <= max(1, 0.002 * sx.shape[0])
 
-    d_j = np.asarray(rays_j.dir)[ok_j]
-    d_p = np.asarray(rays_p.dir)[ok_j]
-    o_j = np.asarray(rays_j.origin)[ok_j]
-    o_p = np.asarray(rays_p.origin)[ok_j]
+    both = ok_j & ok_p
+    d_j = np.asarray(rays_j.dir)[both]
+    d_p = np.asarray(rays_p.dir)[both]
+    o_j = np.asarray(rays_j.origin)[both]
+    o_p = np.asarray(rays_p.origin)[both]
     assert float(np.sqrt(np.mean((d_j - d_p) ** 2))) < 1e-6
     assert float(np.sqrt(np.mean((o_j - o_p) ** 2))) < 1e-5
 

@@ -130,3 +130,49 @@ def test_profile_precheck_soundness(name):
         bound = float(c0) + float(c1) * cphi + float(c2) * (2 * cphi**2 - 1)
         unsound = int((ok & (rho > bound)).sum())
         assert unsound == 0, f"{name} r={r}: {unsound} accepted outside bound"
+
+
+def test_profile_precheck_soundness_naive_offaxis(lens):
+    """NAIVE-cover profile soundness at OFF-AXIS film points: the naive
+    cover applies no R(theta) rotation (zoic.cpp:1874-1876 vs 1914), so
+    the accepted unit-disk support rotates with film azimuth and the
+    bound must be rotation-invariant (r3 fix: c1=c2=0, c0=circumradius).
+    The r2 angle-dependent fit rejected 76/2048 accepted primary samples
+    here."""
+    import zoic_tpu.trace as trace
+    from zoic_tpu.optics import V3
+    from zoic_tpu.sampling import concentric_disk_sample
+
+    cfg = zt.CameraConfig(
+        lens_model=zt.LensModel.RAYTRACED,
+        lens_data_path=zt.data.lens_path("double_gauss_f2.0"),
+        focal_length=5.0, fstop=2.0, focal_distance=100.0,
+        kolb_sampling_lut=False,
+        lut_bounds_samples=20_000,
+    )
+    lens_n = zt.compile_camera(cfg).lens
+    assert lens_n.profile is not None
+    assert float(jnp.max(jnp.abs(lens_n.profile.c1))) == 0.0
+    assert float(jnp.max(jnp.abs(lens_n.profile.c2))) == 0.0
+
+    n = 20_000
+    u = jax.random.uniform(jax.random.PRNGKey(77), (4, n), dtype=jnp.float32)
+    # off-axis film points across all azimuths
+    fx = (u[0] * 2 - 1) * 1.8
+    fy = (u[1] * 2 - 1) * 1.8
+    lx, ly = concentric_disk_sample(u[2], u[3])
+    oz = jnp.zeros(n) + lens_n.origin_shift
+    tx = lx * lens_n.aperture[0]
+    ty = ly * lens_n.aperture[0]
+    ok = trace.trace_stack(
+        lens_n, V3(fx, fy, oz),
+        V3(tx - fx, ty - fy, jnp.zeros(n) - lens_n.thickness[0]),
+    ).ok
+
+    dist = jnp.sqrt(fx * fx + fy * fy)
+    c0, c1, c2 = pupil.profile_lookup(lens_n.profile, dist)
+    rho = jnp.sqrt(lx * lx + ly * ly)
+    cphi = lx / jnp.maximum(rho, 1e-9)
+    bound = c0 + c1 * cphi + c2 * (2 * cphi * cphi - 1)
+    unsound = int(jnp.sum(ok & (rho > bound)))
+    assert unsound == 0, f"{unsound} accepted samples outside the naive bound"

@@ -163,15 +163,21 @@ def _trace_block(elems_ref, n_elems, ox, oy, oz, dx, dy, dz):
     ~49 cycles/element vs ~66 for the mask-chain form.  The per-element
     control state is ONE latched ``fail`` flag; position updates merge
     through 3 selects, direction updates through a masked (eta, k) pair
-    (fail -> (1, 0), i.e. identity) instead of per-component selects; the
-    chord distance reuses last element's hit radius (``o2``); both sqrts
-    use the rsqrt form; the TIR gate is a single compare against the
-    packed per-element threshold (1 or +inf)."""
+    (fail -> (1, 0), i.e. identity) instead of per-component selects; both
+    sqrts use the rsqrt form; the TIR gate is a single compare against the
+    packed per-element threshold (1 or +inf).
+
+    The chord distance uses the perpendicular-component form
+    ``d2 = |L - tca*d|^2`` rather than ``|L|^2 - tca^2``: for rays near
+    the axis the two squares cancel catastrophically (measured max rel
+    error 1.3e-1 vs 1.7e-4 on the A/B batch), wide enough that borderline
+    aperture culls flipped between differently-fused XLA programs and made
+    the compaction A/B gates flaky.  Costs ~1 extra op/element; buys
+    ~800x tighter cull margins."""
     inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
     dx, dy, dz = dx * inv, dy * inv, dz * inv
     fail = jnp.zeros_like(ox, dtype=jnp.bool_)
     tir_any = jnp.zeros_like(ox, dtype=jnp.bool_)
-    o2 = ox * ox + oy * oy  # carried |hit_xy|^2 of the current position
 
     for i in range(n_elems):
         cz = elems_ref[i, 0]
@@ -186,7 +192,11 @@ def _trace_block(elems_ref, n_elems, ox, oy, oz, dx, dy, dz):
         # L = c - o has Lx = -ox, Ly = -oy, so the dot products reduce
         lz = cz - oz
         tca = lz * dz - (ox * dx + oy * dy)
-        d2 = (o2 + lz * lz) - tca * tca
+        # perpendicular component of L w.r.t. d (signs fold into squares)
+        px = ox + tca * dx
+        py = oy + tca * dy
+        pz = lz - tca * dz
+        d2 = px * px + py * py + pz * pz
         thc = _fast_sqrt(jnp.abs(r_sq - d2))
         t = tca + thc * sign_r
         hx = ox + dx * t
@@ -198,7 +208,6 @@ def _trace_block(elems_ref, n_elems, ox, oy, oz, dx, dy, dz):
         ox = jnp.where(fail, ox, hx)
         oy = jnp.where(fail, oy, hy)
         oz = jnp.where(fail, oz, oz + dz * t)
-        o2 = jnp.where(fail, o2, h2)
 
         # refract via the unscaled w = c - hit (one inv_r scale on the dot
         # and one on k instead of three on the normal components):
@@ -253,6 +262,8 @@ def _hash_uniform(ids, seed, rnd, salt):
 
 
 PRECHECK_DRAWS = 4  # candidate draws per retry round in profile mode (6 measured -4.5%)
+_DEBUG_ROUND0_ONLY = False  # diagnostics: return state right after round 0
+_DEBUG_NO_UNSORT = False  # diagnostics: emit raw packed words, skip unsort
 
 BOKEH_PLANES = 4  # streamed retry-draw planes in presampled (bokeh) mode
 
@@ -398,7 +409,8 @@ def _compaction_schedule(rows: int, max_total: int,
                          era3_rounds: int = 1,
                          era2_drain: bool = False,
                          era3_far_every: int = 1,
-                         bulk_draws: int = 0):
+                         bulk_draws: int = 0,
+                         skip_era1: bool = False):
     """Era pyramid for in-kernel straggler compaction.
 
     Each era = (region_h, fold_src_offsets, rounds_per_rep, max_reps,
@@ -438,7 +450,7 @@ def _compaction_schedule(rows: int, max_total: int,
             )
         return sched
     sched = []
-    if rows >= 16:
+    if rows >= 16 and not skip_era1:
         h = rows // 2
         sched.append((h, (h,), 1, 1, None, 1, None))
     mid = rows // 4
@@ -574,7 +586,7 @@ def _run_compaction(st_f, st_i, n_f32, rows, max_total, region_round,
 def _round_core(
     attempt, seed, max_total, use_profile,
     ids, pcs, ox, oy, oz, dx, dy, dz, ok_i, tries, tir_count,
-    draws=None, k_draws=PRECHECK_DRAWS,
+    draws=None, k_draws=PRECHECK_DRAWS, first_draws=None,
 ):
     """One batched retry round (the body of zoic.cpp's resample loop,
     1879-1947) on arrays of any (h, 128) shape.
@@ -612,20 +624,32 @@ def _round_core(
         consumed = jnp.zeros_like(ok_i)
         cand1 = jnp.zeros_like(ox)
         cand2 = jnp.zeros_like(ox)
-        for j in range(k_draws):
-            # draw j of this round is the ray's try #(tries + j): all
-            # previous draws this round were consumed while found == 0
-            ctr = tries + j
-            u1 = _hash_uniform(ids, seed, ctr, 0x11111111)
-            u2 = _hash_uniform(ids, seed, ctr, 0x22222222)
+        # ``first_draws`` makes this round 0: draw 0 is the caller's
+        # sample (the reference's first attempt, zoic.cpp:1870) and is
+        # FREE — it consumes no retry and shifts the hash counters so
+        # draw j >= 1 is retry #(j-1), exactly the stream the old bare
+        # attempt-0 + retry-round flow consumed (bit-identical per-ray
+        # try trajectories; only the round grouping differs).
+        n_draws = k_draws + 1 if first_draws is not None else k_draws
+        for j in range(n_draws):
+            if first_draws is not None and j == 0:
+                u1, u2 = first_draws
+                can = pending
+            else:
+                # draw j of this round is the ray's retry
+                # #(tries + j - first_free): all previous draws this
+                # round were consumed while found == 0
+                ctr = tries + (j - 1 if first_draws is not None else j)
+                u1 = _hash_uniform(ids, seed, ctr, 0x11111111)
+                u2 = _hash_uniform(ids, seed, ctr, 0x22222222)
+                can = pending & (found == 0) & (tries + consumed < max_total)
+                consumed = consumed + can.astype(jnp.int32)
             lx, ly = _concentric(u1, u2)
             rho2 = lx * lx + ly * ly
             rho = _fast_sqrt(rho2)
             cphi = lx / jnp.maximum(rho, 1e-9)
             bound = pc0 + pc1 * cphi + pc2 * (2.0 * cphi * cphi - 1.0)
             pass_j = rho <= bound
-            can = pending & (found == 0) & (tries + consumed < max_total)
-            consumed = consumed + can.astype(jnp.int32)
             take = can & pass_j
             cand1 = jnp.where(take, u1, cand1)
             cand2 = jnp.where(take, u2, cand2)
@@ -786,13 +810,35 @@ def _raytraced_kernel(
     ids = _lane_ids(fx.shape, pl.program_id(0) * rows)
     attempt = attempt_on(fx, fy, ms, trn, sn, cs)
 
-    # attempt #0 from the caller's uniforms; consumes no retry
-    ox, oy, oz, dx, dy, dz, ok, tir0 = attempt(u1_ref[:], u2_ref[:])
-    # loop-carried masks are int32: Mosaic has no i1 vector selects
-    ok_i = ok.astype(jnp.int32)
-    tir_count = tir0.astype(jnp.int32)
     # pad lanes (beyond the true batch) never enter the retry rounds
     tries = jnp.where(ids < batch_size, 0, max_total + 1)
+    if use_profile:
+        # Round 0 IS a pre-checked round (r3): draw 0 is the caller's
+        # uniforms (the reference's first sample, zoic.cpp:1870), and a
+        # first sample the profile provably rejects consumes tries
+        # without tracing, exactly like the retry rounds — run at full
+        # tile width where the draw chain is throughput-bound.  This
+        # cuts the pending fraction entering the era machine (~46% ->
+        # ~25% on the double-gauss) at the cost of one pre-check chain.
+        z = jnp.zeros_like(fx)
+        zi = jnp.zeros_like(tries)
+        (ox, oy, oz, dx, dy, dz, ok_i, tries, tir_count) = _round_core(
+            attempt, seed, max_total, True,
+            ids, pcs, z, z, z, z, z, z, zi, tries, zi,
+            k_draws=sched_knobs[2],
+            first_draws=(u1_ref[:], u2_ref[:]),
+        )
+    else:
+        # attempt #0 from the caller's uniforms; consumes no retry
+        ox, oy, oz, dx, dy, dz, ok, tir0 = attempt(u1_ref[:], u2_ref[:])
+        # loop-carried masks are int32: Mosaic has no i1 vector selects
+        ok_i = ok.astype(jnp.int32)
+        tir_count = tir0.astype(jnp.int32)
+
+    if _DEBUG_ROUND0_ONLY:
+        # round-0 (tries, ok) rides in bits 21+ of the FINAL packed word:
+        # the real machine still runs and produces the low bits
+        dbg_r0 = (tries << 21) | (ok_i << 27)
 
     if not compact:
         # Whole-tile masked rounds: every round retraces the full tile
@@ -942,6 +988,7 @@ def _raytraced_kernel(
             era2_drain=not use_profile,
             era3_far_every=sched_knobs[3],
             bulk_draws=sched_knobs[4] if use_profile else 0,
+            skip_era1=sched_knobs[5],
         )
         _run_compaction(
             st_f, st_i, n_f32, rows, max_total, region_round, sched
@@ -954,6 +1001,21 @@ def _raytraced_kernel(
         # the fold offsets (rays never leave their row class mod gcd); a
         # schedule with no folds needs no unsort at all.
         g = _sched_group_stride(sched, rows)
+        if _DEBUG_NO_UNSORT:
+            key = st_i[0, :, :]
+            ox, oy, oz = (st_f[pf["ox"], :, :], st_f[pf["oy"], :, :],
+                          st_f[pf["oz"], :, :])
+            dx, dy, dz = (st_f[pf["dx"], :, :], st_f[pf["dy"], :, :],
+                          st_f[pf["dz"], :, :])
+            # raw packed word as exact f32 (word < 2^24) for decoding
+            out_ox[:] = key.astype(jnp.float32)
+            out_oy[:] = oy
+            out_oz[:] = oz
+            out_dx[:] = dx
+            out_dy[:] = dy
+            out_dz[:] = dz
+            out_packed[:] = key
+            return
         if g < rows:
             key, arrays = _bitonic_unsort_rows(
                 st_i[0, :, :],
@@ -975,6 +1037,9 @@ def _raytraced_kernel(
 
     if not compact:
         packed = tries | (tir_count << 10) | (ok_i << 20)
+
+    if _DEBUG_ROUND0_ONLY:
+        packed = packed | dbg_r0
 
     # flip (zoic.cpp:1960-1961)
     out_ox[:] = -ox
@@ -1352,7 +1417,7 @@ def _shaping_table(lens: LensSystem, use_lut: bool, use_profile: bool):
         "max_tries", "tile_rows", "interpret", "compact", "use_lut",
         "use_profile", "presampled", "era3_h", "era3_rounds",
         "precheck_draws", "dead_heavy", "era3_far_every",
-        "bulk_draws",
+        "bulk_draws", "skip_era1",
     ),
 )
 def raytraced_fused(
@@ -1379,6 +1444,7 @@ def raytraced_fused(
     dead_heavy: bool | None = None,
     era3_far_every: int = 1,
     bulk_draws: int = 0,
+    skip_era1: bool = False,
 ) -> Tuple[Array, Array, Array, Array]:
     """Fused raytraced camera-ray generation, single launch: the whole
     retry budget runs in-kernel.
@@ -1503,7 +1569,8 @@ def raytraced_fused(
     kernel = functools.partial(
         _raytraced_kernel, n_elems, n_keys, max_total, use_lut, use_profile,
         compact, presampled, dead_heavy,
-        (era3_h, era3_rounds, precheck_draws, era3_far_every, bulk_draws),
+        (era3_h, era3_rounds, precheck_draws, era3_far_every, bulk_draws,
+         skip_era1),
     )
     n_f32 = len(_plane_layout(use_lut, use_profile))
     scratch_shapes = (
@@ -1540,6 +1607,8 @@ def raytraced_fused(
     origin = jnp.stack([unprep(outs[0]), unprep(outs[1]), unprep(outs[2])], -1)
     direction = jnp.stack([unprep(outs[3]), unprep(outs[4]), unprep(outs[5])], -1)
     packed = unprep(outs[6])
+    if _DEBUG_ROUND0_ONLY:
+        return origin, direction, packed, packed
     tries = packed & 0x3FF
     tir = (packed >> 10) & 0x3FF
     return origin, direction, tries, tir

@@ -244,13 +244,26 @@ def build_profile(
     basis = jnp.stack(
         [jnp.ones_like(centers), jnp.cos(centers), jnp.cos(2.0 * centers)], -1
     )  # [A, 3]
-    coef, *_ = jnp.linalg.lstsq(basis, rho_max.T)  # [3, K]
-    fit = basis @ coef  # [A, K]
-    # conservative: shift up by the worst under-fit, then the x1.05 margin
-    excess = jnp.max(rho_max.T - fit, axis=0)  # [K]
-    c0 = (coef[0] + jnp.maximum(excess, 0.0) + 0.02) * 1.05
-    c1 = coef[1] * 1.05
-    c2 = coef[2] * 1.05
+    if lut is not None:
+        coef, *_ = jnp.linalg.lstsq(basis, rho_max.T)  # [3, K]
+        fit = basis @ coef  # [A, K]
+        # conservative: shift up by the worst under-fit, then x1.05 margin
+        excess = jnp.max(rho_max.T - fit, axis=0)  # [K]
+        c0 = (coef[0] + jnp.maximum(excess, 0.0) + 0.02) * 1.05
+        c1 = coef[1] * 1.05
+        c2 = coef[2] * 1.05
+    else:
+        # NAIVE cover: the accepted unit-disk support ROTATES with the
+        # film azimuth (the cover applies no R(theta); the LUT cover
+        # does, zoic.cpp:1914, which is what makes its support frame-
+        # fixed).  The profile is fitted on the +x film axis only, so an
+        # angle-dependent bound here rejects samples that trace fine at
+        # other azimuths (measured: 76/2048 primary-sample flips on the
+        # naive double-gauss).  Emit the rotation-invariant bound
+        # instead: the support's circumradius, angle-independent.
+        c0 = (jnp.max(rho_max, axis=1) + 0.02) * 1.05
+        c1 = jnp.zeros_like(c0)
+        c2 = jnp.zeros_like(c0)
     return PupilProfile(keys=keys, c0=c0, c1=c1, c2=c2), key_acceptance
 
 
