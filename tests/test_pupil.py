@@ -124,10 +124,12 @@ def test_profile_precheck_soundness(name):
                 V3(px - fx, py - fy, jnp.zeros((n,)) - lens_p.thickness[0]),
             ).ok
         )
-        c0, c1, c2 = pupil.profile_lookup(lens_p.profile, jnp.float32(r))
+        c0, c1, c2, c4 = pupil.profile_lookup(lens_p.profile, jnp.float32(r))
         rho = np.hypot(np.asarray(lx), np.asarray(ly))
         cphi = np.where(rho > 0, np.asarray(lx) / np.maximum(rho, 1e-9), 1.0)
-        bound = float(c0) + float(c1) * cphi + float(c2) * (2 * cphi**2 - 1)
+        t2 = 2 * cphi**2 - 1
+        bound = (float(c0) + float(c1) * cphi + float(c2) * t2
+                 + float(c4) * (2 * t2**2 - 1))
         unsound = int((ok & (rho > bound)).sum())
         assert unsound == 0, f"{name} r={r}: {unsound} accepted outside bound"
 
@@ -154,6 +156,7 @@ def test_profile_precheck_soundness_naive_offaxis(lens):
     assert lens_n.profile is not None
     assert float(jnp.max(jnp.abs(lens_n.profile.c1))) == 0.0
     assert float(jnp.max(jnp.abs(lens_n.profile.c2))) == 0.0
+    assert float(jnp.max(jnp.abs(lens_n.profile.c4))) == 0.0
 
     n = 20_000
     u = jax.random.uniform(jax.random.PRNGKey(77), (4, n), dtype=jnp.float32)
@@ -170,9 +173,10 @@ def test_profile_precheck_soundness_naive_offaxis(lens):
     ).ok
 
     dist = jnp.sqrt(fx * fx + fy * fy)
-    c0, c1, c2 = pupil.profile_lookup(lens_n.profile, dist)
+    c0, c1, c2, c4 = pupil.profile_lookup(lens_n.profile, dist)
     rho = jnp.sqrt(lx * lx + ly * ly)
     cphi = lx / jnp.maximum(rho, 1e-9)
-    bound = c0 + c1 * cphi + c2 * (2 * cphi * cphi - 1)
+    t2 = 2 * cphi * cphi - 1
+    bound = c0 + c1 * cphi + c2 * t2 + c4 * (2 * t2 * t2 - 1)
     unsound = int(jnp.sum(ok & (rho > bound)))
     assert unsound == 0, f"{unsound} accepted samples outside the naive bound"

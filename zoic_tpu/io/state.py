@@ -25,7 +25,7 @@ import numpy as np
 from ..config import CameraConfig
 from ..system import BokehImage, CameraState, LensSystem, PupilLUT, PupilProfile
 
-FORMAT_VERSION = 2
+FORMAT_VERSION = 3  # v3: PupilProfile gained the cos(4 phi) coefficient
 
 
 def _flatten(state: CameraState):
@@ -77,7 +77,7 @@ def _skeleton(static: dict) -> CameraState:
         PupilLUT(z, z, z, z, z, z, z) if static["has_lut"] else None
     )
     profile = (
-        PupilProfile(z, z, z, z) if static.get("has_profile") else None
+        PupilProfile(z, z, z, z, z) if static.get("has_profile") else None
     )
     lens = (
         LensSystem(

@@ -299,7 +299,7 @@ def _plane_layout(use_lut: bool, use_profile: bool):
     if use_lut:
         names += ["ms", "trn", "sn", "cs"]
     if use_profile:
-        names += ["pc0", "pc1", "pc2"]
+        names += ["pc0", "pc1", "pc2", "pc4"]
     return {n: i for i, n in enumerate(names)}
 
 
@@ -352,7 +352,7 @@ def _shaping_from_table(shap_ref, n_keys, spacing, fx, fy,
     perc = jnp.where(denom != 0.0, (dist - lower) / denom, 0.0)
     perc = jnp.where(dist == 0.0, 0.0, perc)
 
-    cols = ([0, 1] if use_lut else []) + ([2, 3, 4] if use_profile else [])
+    cols = ([0, 1] if use_lut else []) + ([2, 3, 4, 5] if use_profile else [])
     lb = [jnp.zeros_like(fx) for _ in cols]
     pr = [jnp.zeros_like(fx) for _ in cols]
     for k in range(n_keys):
@@ -373,7 +373,7 @@ def _shaping_from_table(shap_ref, n_keys, spacing, fx, fy,
         out["cs"] = _fast_cos(theta)
         vals = vals[2:]
     if use_profile:
-        out["pc0"], out["pc1"], out["pc2"] = vals
+        out["pc0"], out["pc1"], out["pc2"], out["pc4"] = vals
     return out
 
 
@@ -613,13 +613,13 @@ def _round_core(
         merge = pending
     else:
         # Profile pre-check: a unit-disk candidate with
-        # rho > c0 + c1 cos(phi) + c2 cos(2 phi) provably fails the
-        # trace (build_profile's conservative bound), so up to
-        # ``k_draws`` failed tries are consumed per round for
-        # ~40 VPU ops each instead of a full trace.  The draw
+        # rho > c0 + c1 cos(phi) + c2 cos(2 phi) + c4 cos(4 phi)
+        # provably fails the trace (build_profile's conservative
+        # bound), so up to ``k_draws`` failed tries are consumed per
+        # round for ~40 VPU ops each instead of a full trace.  The draw
         # sequence and per-try outcomes are exactly the reference's
         # (PARITY.md).
-        pc0, pc1, pc2 = pcs
+        pc0, pc1, pc2, pc4 = pcs
         found = jnp.zeros_like(ok_i)
         consumed = jnp.zeros_like(ok_i)
         cand1 = jnp.zeros_like(ox)
@@ -648,7 +648,10 @@ def _round_core(
             rho2 = lx * lx + ly * ly
             rho = _fast_sqrt(rho2)
             cphi = lx / jnp.maximum(rho, 1e-9)
-            bound = pc0 + pc1 * cphi + pc2 * (2.0 * cphi * cphi - 1.0)
+            # Chebyshev: cos2 = 2c^2-1, cos4 = 2 cos2^2 - 1
+            t2 = 2.0 * cphi * cphi - 1.0
+            t4 = 2.0 * t2 * t2 - 1.0
+            bound = pc0 + pc1 * cphi + pc2 * t2 + pc4 * t4
             pass_j = rho <= bound
             take = can & pass_j
             cand1 = jnp.where(take, u1, cand1)
@@ -804,7 +807,7 @@ def _raytraced_kernel(
         ms, trn = naive_scale, jnp.float32(0.0)
         sn, cs = jnp.float32(0.0), jnp.float32(1.0)
     pcs = (
-        (shaping["pc0"], shaping["pc1"], shaping["pc2"])
+        (shaping["pc0"], shaping["pc1"], shaping["pc2"], shaping["pc4"])
         if use_profile else None
     )
     ids = _lane_ids(fx.shape, pl.program_id(0) * rows)
@@ -896,7 +899,7 @@ def _raytraced_kernel(
         if use_lut:
             vals.update(ms=ms, trn=trn, sn=sn, cs=cs)
         if use_profile:
-            vals.update(pc0=pcs[0], pc1=pcs[1], pc2=pcs[2])
+            vals.update(pc0=pcs[0], pc1=pcs[1], pc2=pcs[2], pc4=pcs[3])
         for name, plane in pf.items():
             st_f[plane, :, :] = vals[name]
         home_row = jax.lax.broadcasted_iota(jnp.int32, fx.shape, 0)
@@ -918,7 +921,10 @@ def _raytraced_kernel(
                 st_f[pf["fx"], 0:h, :], st_f[pf["fy"], 0:h, :], *r_shape
             )
             r_pcs = (
-                tuple(st_f[pf[nm], 0:h, :] for nm in ("pc0", "pc1", "pc2"))
+                tuple(
+                    st_f[pf[nm], 0:h, :]
+                    for nm in ("pc0", "pc1", "pc2", "pc4")
+                )
                 if use_profile else None
             )
             p = st_i[0, 0:h, :]
@@ -1388,9 +1394,10 @@ def thinlens_fused(
 
 
 def _shaping_table(lens: LensSystem, use_lut: bool, use_profile: bool):
-    """SMEM shaping table (n_keys, 5): [max_scale*1.05, centroid_x, c0, c1,
-    c2] per film-radius key, plus the uniform key spacing.  The x1.05 margin
-    (zoic.cpp:1463, 1891) is folded into the table — lerp is linear."""
+    """SMEM shaping table (n_keys, 6): [max_scale*1.05, centroid_x, c0, c1,
+    c2, c4] per film-radius key, plus the uniform key spacing.  The x1.05
+    margin (zoic.cpp:1463, 1891) is folded into the table — lerp is
+    linear."""
     from .. import pupil as _pupil
 
     if use_lut:
@@ -1402,13 +1409,14 @@ def _shaping_table(lens: LensSystem, use_lut: bool, use_profile: bool):
         ms = jnp.zeros_like(keys)
         ce = jnp.zeros_like(keys)
     else:
-        return jnp.zeros((1, 5), jnp.float32), jnp.float32(1.0)
+        return jnp.zeros((1, 6), jnp.float32), jnp.float32(1.0)
     if use_profile:
-        c0, c1, c2 = lens.profile.c0, lens.profile.c1, lens.profile.c2
+        c0, c1, c2, c4 = (lens.profile.c0, lens.profile.c1,
+                          lens.profile.c2, lens.profile.c4)
     else:
-        c0 = c1 = c2 = jnp.zeros_like(keys)
+        c0 = c1 = c2 = c4 = jnp.zeros_like(keys)
     spacing = keys[1] - keys[0]
-    return jnp.stack([ms, ce, c0, c1, c2], axis=1), spacing
+    return jnp.stack([ms, ce, c0, c1, c2, c4], axis=1), spacing
 
 
 @functools.partial(

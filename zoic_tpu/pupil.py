@@ -239,19 +239,24 @@ def build_profile(
     rho_ok = jnp.where(ok, rho, 0.0)
     rho_max = jnp.max(rho_ok[:, :, None] * onehot, axis=1)  # [K, A]
 
-    # least-squares fit rho(phi) ~ c0 + c1 cos phi + c2 cos 2phi over bins
+    # least-squares fit rho(phi) ~ c0 + c1 cos phi + c2 cos 2phi
+    # + c4 cos 4phi over bins (harmonic set {0,1,2,4}: measured on the
+    # lens library, cos3 contributes nothing while cos4 cuts E[traced
+    # attempts] 1.52 -> 1.32 on the double-gauss)
     centers = (jnp.arange(n_angles) + 0.5) / n_angles * 2.0 * jnp.pi - jnp.pi
     basis = jnp.stack(
-        [jnp.ones_like(centers), jnp.cos(centers), jnp.cos(2.0 * centers)], -1
-    )  # [A, 3]
+        [jnp.ones_like(centers), jnp.cos(centers), jnp.cos(2.0 * centers),
+         jnp.cos(4.0 * centers)], -1
+    )  # [A, 4]
     if lut is not None:
-        coef, *_ = jnp.linalg.lstsq(basis, rho_max.T)  # [3, K]
+        coef, *_ = jnp.linalg.lstsq(basis, rho_max.T)  # [4, K]
         fit = basis @ coef  # [A, K]
         # conservative: shift up by the worst under-fit, then x1.05 margin
         excess = jnp.max(rho_max.T - fit, axis=0)  # [K]
         c0 = (coef[0] + jnp.maximum(excess, 0.0) + 0.02) * 1.05
         c1 = coef[1] * 1.05
         c2 = coef[2] * 1.05
+        c4 = coef[3] * 1.05
     else:
         # NAIVE cover: the accepted unit-disk support ROTATES with the
         # film azimuth (the cover applies no R(theta); the LUT cover
@@ -264,7 +269,11 @@ def build_profile(
         c0 = (jnp.max(rho_max, axis=1) + 0.02) * 1.05
         c1 = jnp.zeros_like(c0)
         c2 = jnp.zeros_like(c0)
-    return PupilProfile(keys=keys, c0=c0, c1=c1, c2=c2), key_acceptance
+        c4 = jnp.zeros_like(c0)
+    return (
+        PupilProfile(keys=keys, c0=c0, c1=c1, c2=c2, c4=c4),
+        key_acceptance,
+    )
 
 
 def dead_film_fraction(keys, key_acceptance, r_max: float) -> float:
@@ -288,7 +297,7 @@ def dead_film_fraction(keys, key_acceptance, r_max: float) -> float:
 
 
 def profile_lookup(profile, dist: Array):
-    """Per-ray (c0, c1, c2) interpolated over film radius — same
+    """Per-ray (c0, c1, c2, c4) interpolated over film radius — same
     uniform-key bracketing as :func:`lut_lookup`."""
     n = profile.keys.shape[0]
     spacing = profile.keys[1] - profile.keys[0]
@@ -302,4 +311,5 @@ def profile_lookup(profile, dist: Array):
         lerp(perc, profile.c0[i_lb], profile.c0[i_prev]),
         lerp(perc, profile.c1[i_lb], profile.c1[i_prev]),
         lerp(perc, profile.c2[i_lb], profile.c2[i_prev]),
+        lerp(perc, profile.c4[i_lb], profile.c4[i_prev]),
     )
