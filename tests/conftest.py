@@ -60,6 +60,43 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(skip)
 
 
+def _install_compile_camera_cache():
+    """Session-scoped memo for ``compile_camera(config, lut_key=None)``.
+
+    ``compile_camera`` is deterministic for the default keys (PRNGKey(0)/
+    fold_in) and returns an immutable pytree, but costs 10-25s on the
+    1-core CPU host (the 32 x n_samples LUT/profile Monte-Carlo builds)
+    and the same handful of configs is built by many test files.  Caching
+    by config is semantically transparent; explicit ``lut_key`` callers
+    (the oracle-parity seeded builds) bypass the cache."""
+    import zoic_tpu
+    from zoic_tpu import camera as _camera
+
+    import dataclasses
+
+    raw = _camera.compile_camera
+    memo = {}
+
+    def cached(config, lut_key=None):
+        if lut_key is not None:
+            return raw(config, lut_key)
+        # normalize the fields compile_camera does NOT read, so e.g. the
+        # jnp/pallas config pair of an A/B test shares one lens build
+        k = dataclasses.replace(
+            config, impl="auto", max_tries=25, use_dof=True,
+            debug=type(config.debug)(),
+        )
+        if k not in memo:
+            memo[k] = raw(config)
+        return memo[k]
+
+    _camera.compile_camera = cached
+    zoic_tpu.compile_camera = cached
+
+
+_install_compile_camera_cache()
+
+
 def pytest_sessionstart(session):
     n = jax.device_count()
     assert jax.default_backend() == "cpu", (
