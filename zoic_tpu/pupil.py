@@ -251,12 +251,22 @@ def build_profile(
     if lut is not None:
         coef, *_ = jnp.linalg.lstsq(basis, rho_max.T)  # [4, K]
         fit = basis @ coef  # [A, K]
-        # conservative: shift up by the worst under-fit, then x1.05 margin
+        # conservative: shift up by the worst under-fit so the fit clears
+        # every OBSERVED per-bin max exactly, then a small absolute +
+        # relative guard for the unobserved MC tail.  Margin sizing is
+        # measured, not guessed (PERF_NOTES r3): on an independent 200k-
+        # sample/key test set, (+0.005, x1.01) shows ZERO unsound flips
+        # (bare excess-only: 3e-6) while the old (+0.02, x1.05) inflated
+        # bound-passes ~8%% — i.e. ~8%% pointless full traces.  The risk
+        # class (one-sided: a ray vignetted that an exact trace accepts)
+        # is the same one the reference takes with its bare x1.05 margin
+        # on the MC LUT bboxes (zoic.cpp:1463), budgeted at <=0.2%
+        # (PARITY.md); measured ~1000x under.
         excess = jnp.max(rho_max.T - fit, axis=0)  # [K]
-        c0 = (coef[0] + jnp.maximum(excess, 0.0) + 0.02) * 1.05
-        c1 = coef[1] * 1.05
-        c2 = coef[2] * 1.05
-        c4 = coef[3] * 1.05
+        c0 = (coef[0] + jnp.maximum(excess, 0.0) + 0.005) * 1.01
+        c1 = coef[1] * 1.01
+        c2 = coef[2] * 1.01
+        c4 = coef[3] * 1.01
     else:
         # NAIVE cover: the accepted unit-disk support ROTATES with the
         # film azimuth (the cover applies no R(theta); the LUT cover
@@ -266,7 +276,7 @@ def build_profile(
         # other azimuths (measured: 76/2048 primary-sample flips on the
         # naive double-gauss).  Emit the rotation-invariant bound
         # instead: the support's circumradius, angle-independent.
-        c0 = (jnp.max(rho_max, axis=1) + 0.02) * 1.05
+        c0 = (jnp.max(rho_max, axis=1) + 0.005) * 1.01
         c1 = jnp.zeros_like(c0)
         c2 = jnp.zeros_like(c0)
         c4 = jnp.zeros_like(c0)
