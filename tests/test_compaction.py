@@ -17,7 +17,7 @@ import zoic_tpu as zt
 from zoic_tpu.ops import trace_kernel
 
 
-def _run(cfg, state, n, compact, seed=12345, max_tries=25):
+def _run(cfg, state, n, compact, seed=12345, max_tries=25, **kw):
     rng = np.random.default_rng(7)
     sx = jnp.asarray(rng.uniform(-1, 1, n).astype(np.float32))
     sy = jnp.asarray(rng.uniform(-1, 1, n).astype(np.float32))
@@ -30,6 +30,7 @@ def _run(cfg, state, n, compact, seed=12345, max_tries=25):
         compact=compact,
         use_lut=bool(cfg.kolb_sampling_lut),
         use_profile=bool(cfg.pupil_precheck and lens.profile is not None),
+        **kw,
     )
     return tuple(np.asarray(a) for a in (o, d, t, tir))
 
@@ -78,6 +79,34 @@ def test_compact_matches_whole_tile(lut, precheck, max_tries):
     np.testing.assert_allclose(dF, dT, atol=1e-3)
     # sanity: retries actually happened (the machinery was exercised)
     assert (tF > 0).any()
+
+
+def test_compact_dual_trace():
+    """Speculative second-candidate rounds (``dual_h``): forcing dual
+    trace at EVERY region size must stay bit-identical to the sequential
+    uncompacted loop — the scan-ahead consumes exactly the counters the
+    next round would, and speculative draws only count when candidate
+    1's trace fails (trace_kernel._round_core dual branch)."""
+    cfg = zt.CameraConfig(
+        lens_model=zt.LensModel.RAYTRACED,
+        lens_data_path=zt.data.lens_path("double_gauss_f2.0"),
+        focal_length=5.0, fstop=2.0, focal_distance=100.0,
+        kolb_sampling_lut=True, lut_bounds_samples=5_000,
+        pupil_precheck=True,
+    )
+    state = zt.compile_camera(cfg)
+    n = 16 * 128 + 77
+    oF, dF, tF, tirF = _run(cfg, state, n, compact=False, max_tries=6)
+    oT, dT, tT, tirT = _run(cfg, state, n, compact=True, max_tries=6,
+                            dual_h=128)
+    np.testing.assert_array_equal(tF, tT)
+    np.testing.assert_array_equal(tirF, tirT)
+    live = tF <= 6
+    # payload tolerance is the cross-program fma-schedule noise class of
+    # the main A/B above; the dual program's extra speculative trace
+    # shifts fusion enough for ~5e-6 worst-case on retried rays
+    np.testing.assert_allclose(oF[live], oT[live], atol=6e-6)
+    np.testing.assert_allclose(dF[live], dT[live], atol=6e-6)
 
 
 def test_compact_tiny_budget():

@@ -586,7 +586,7 @@ def _run_compaction(st_f, st_i, n_f32, rows, max_total, region_round,
 def _round_core(
     attempt, seed, max_total, use_profile,
     ids, pcs, ox, oy, oz, dx, dy, dz, ok_i, tries, tir_count,
-    draws=None, k_draws=PRECHECK_DRAWS, first_draws=None,
+    draws=None, k_draws=PRECHECK_DRAWS, first_draws=None, dual=False,
 ):
     """One batched retry round (the body of zoic.cpp's resample loop,
     1879-1947) on arrays of any (h, 128) shape.
@@ -646,8 +646,11 @@ def _round_core(
                 consumed = consumed + can.astype(jnp.int32)
             lx, ly = _concentric(u1, u2)
             rho2 = lx * lx + ly * ly
-            rho = _fast_sqrt(rho2)
-            cphi = lx / jnp.maximum(rho, 1e-9)
+            # one shared rsqrt gives both rho and cphi = lx/rho (the
+            # div form costs 1.8 cycles vs 1 for the mul; roofline r3)
+            r_inv = jax.lax.rsqrt(jnp.maximum(rho2, 1e-18))
+            rho = rho2 * r_inv
+            cphi = lx * r_inv
             # Chebyshev: cos2 = 2c^2-1, cos4 = 2 cos2^2 - 1
             t2 = 2.0 * cphi * cphi - 1.0
             t4 = 2.0 * t2 * t2 - 1.0
@@ -660,6 +663,64 @@ def _round_core(
         nox, noy, noz, ndx, ndy, ndz, nok, ntir = attempt(cand1, cand2)
         merge = pending & (found == 1)
         nok = nok & (found == 1)
+        if dual:
+            # Speculative second candidate (mop-up eras, PERF_NOTES r3):
+            # keep scanning for the NEXT bound-passing draw and trace it
+            # alongside candidate 1 — the two trace chains are
+            # independent, so on a one-vreg region the second hides
+            # inside the first's pipeline latency.  Per-ray try
+            # trajectories stay bit-identical to sequential scheduling
+            # (the existing compact-vs-uncompacted A/B gates prove it):
+            # the scan uses exactly the counters the NEXT round would
+            # consume, and its draws only count (a) unconditionally for
+            # rays that found no candidate in the first k draws —
+            # ordinary consumption — or (b) for rays whose candidate-1
+            # trace FAILS (cover slop) — the speculative case.
+            found2 = jnp.zeros_like(ok_i)
+            consumed2 = jnp.zeros_like(ok_i)
+            cand1b = jnp.zeros_like(ox)
+            cand2b = jnp.zeros_like(ox)
+            for _ in range(k_draws):
+                ctr = tries + consumed + consumed2  # next unconsumed draw
+                can = pending & (found2 == 0) & (ctr < max_total)
+                u1 = _hash_uniform(ids, seed, ctr, 0x11111111)
+                u2 = _hash_uniform(ids, seed, ctr, 0x22222222)
+                consumed2 = consumed2 + can.astype(jnp.int32)
+                lx, ly = _concentric(u1, u2)
+                rho2 = lx * lx + ly * ly
+                r_inv = jax.lax.rsqrt(jnp.maximum(rho2, 1e-18))
+                rho = rho2 * r_inv
+                cphi = lx * r_inv
+                t2 = 2.0 * cphi * cphi - 1.0
+                t4 = 2.0 * t2 * t2 - 1.0
+                pass_j = rho <= pc0 + pc1 * cphi + pc2 * t2 + pc4 * t4
+                take = can & pass_j
+                cand1b = jnp.where(take, u1, cand1b)
+                cand2b = jnp.where(take, u2, cand2b)
+                found2 = jnp.where(take, 1, found2)
+            nbx, nby, nbz, nbdx, nbdy, nbdz, nbok, nbtir = attempt(
+                cand1b, cand2b
+            )
+            a_fail = merge & ~nok        # candidate 1 traced and failed
+            no_a = pending & (found == 0)
+            b_live = a_fail | no_a       # scan-2 draws actually consumed
+            useB = b_live & (found2 == 1)
+            tir_add = (merge & ntir).astype(jnp.int32) + (
+                useB & nbtir
+            ).astype(jnp.int32)
+            nox = jnp.where(useB, nbx, nox)
+            noy = jnp.where(useB, nby, noy)
+            noz = jnp.where(useB, nbz, noz)
+            ndx = jnp.where(useB, nbdx, ndx)
+            ndy = jnp.where(useB, nbdy, ndy)
+            ndz = jnp.where(useB, nbdz, ndz)
+            nok = jnp.where(useB, nbok, nok)
+            consumed = consumed + jnp.where(b_live, consumed2, 0)
+            merge = merge | useB
+        else:
+            tir_add = (merge & ntir).astype(jnp.int32)
+    if not use_profile:
+        tir_add = (merge & ntir).astype(jnp.int32)
     ox = jnp.where(merge, nox, ox)
     oy = jnp.where(merge, noy, oy)
     oz = jnp.where(merge, noz, oz)
@@ -667,7 +728,7 @@ def _round_core(
     dy = jnp.where(merge, ndy, dy)
     dz = jnp.where(merge, ndz, dz)
     tries = tries + jnp.where(pending, consumed, 0)
-    tir_count = tir_count + (merge & ntir).astype(jnp.int32)
+    tir_count = tir_count + tir_add
     ok_i = jnp.where(pending, nok.astype(jnp.int32), ok_i)
     return ox, oy, oz, dx, dy, dz, ok_i, tries, tir_count
 
@@ -730,7 +791,8 @@ def _raytraced_kernel(
     presampled: bool,  # u refs are [-1,1] bokeh offsets; retry draws from
     #                    streamed planes (image-based bokeh mode)
     dead_heavy: bool,  # low-acceptance schedule regime (lens.dead_frac)
-    sched_knobs: tuple,  # (era3_h, era3_rounds, k_draws) — static sweep
+    sched_knobs: tuple,  # (era3_h, era3_rounds, k_draws, era3_far_every,
+    #                      bulk_draws, skip_era1, dual_h) — static sweep
     #                      parameters (PERF_NOTES r3 schedule sweep)
     *refs,
     # ref layout (in order):
@@ -977,6 +1039,12 @@ def _raytraced_kernel(
                 r_ok, r_tries, r_tir,
                 draws=draws,
                 k_draws=era_k if era_k else sched_knobs[2],
+                # dual-trace the latency-bound mop-up regions only:
+                # regions at or below ``dual_h`` rows run on ~one vreg,
+                # where the second independent trace chain is nearly
+                # free (PERF_NOTES r3)
+                dual=(use_profile and draws is None
+                      and h <= sched_knobs[6]),
             )
             nox, noy, noz, ndx, ndy, ndz, nok, ntries, ntir = out
             st_f[pf["ox"], 0:h, :] = nox
@@ -1425,7 +1493,7 @@ def _shaping_table(lens: LensSystem, use_lut: bool, use_profile: bool):
         "max_tries", "tile_rows", "interpret", "compact", "use_lut",
         "use_profile", "presampled", "era3_h", "era3_rounds",
         "precheck_draws", "dead_heavy", "era3_far_every",
-        "bulk_draws", "skip_era1",
+        "bulk_draws", "skip_era1", "dual_h",
     ),
 )
 def raytraced_fused(
@@ -1453,6 +1521,7 @@ def raytraced_fused(
     era3_far_every: int = 1,
     bulk_draws: int = 0,
     skip_era1: bool = False,
+    dual_h: int = 0,
 ) -> Tuple[Array, Array, Array, Array]:
     """Fused raytraced camera-ray generation, single launch: the whole
     retry budget runs in-kernel.
@@ -1578,7 +1647,7 @@ def raytraced_fused(
         _raytraced_kernel, n_elems, n_keys, max_total, use_lut, use_profile,
         compact, presampled, dead_heavy,
         (era3_h, era3_rounds, precheck_draws, era3_far_every, bulk_draws,
-         skip_era1),
+         skip_era1, dual_h),
     )
     n_f32 = len(_plane_layout(use_lut, use_profile))
     scratch_shapes = (
