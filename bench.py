@@ -32,9 +32,11 @@ TARGET_RAYS_PER_SEC = 1e9
 # kernel's op mix.  MFU below = useful-work ops / peak.
 VPU_PEAK_OPS = 0.80e12
 # Cost model per ray at the north-star config (PERF_NOTES "Gap
-# decomposition" r3): ~560 VPU ops per traced attempt x ~1.43 expected
-# traced attempts + ~70 ops x ~0.75 precheck-consumed draws.
-USEFUL_OPS_PER_RAY = 560 * 1.43 + 70 * 0.75
+# decomposition" r3): ~560 VPU ops per traced attempt x ~1.22 expected
+# traced attempts (cos4 harmonic + measured-margin bound) + ~72 ops x
+# ~0.9 precheck-consumed draws (tighter bound shifts consumption from
+# traces to prechecks).
+USEFUL_OPS_PER_RAY = 560 * 1.22 + 72 * 0.9
 
 
 def _samples(n, seed=0, raster=True):

@@ -60,8 +60,11 @@ DEF_RT_TILE_ROWS = 128  # raytraced tile: with in-kernel straggler
 
 def _pack_elements(lens: LensSystem) -> Array:
     """Pack per-element trace constants into an f32[E, 8] SMEM table:
-    [center_z, curvature, inv_curvature, r_sq, cull_r_sq, eta, tir_thr,
-    sign_r].
+    [center_z, eta_sq, inv_curvature, r_sq, cull_r_sq, eta, tir_thr,
+    sign_r].  ``eta_sq = eta*eta`` is precomputed — the refract chain
+    needs it every element and a packed constant beats a hot-loop
+    multiply (the curvature itself is derivable from r_sq/sign and was
+    never read).
 
     ``tir_thr`` is the cs2 threshold for total internal reflection: 1.0
     where TIR is possible (ior decreasing, zoic.cpp:1135) and +inf where it
@@ -82,7 +85,7 @@ def _pack_elements(lens: LensSystem) -> Array:
     return jnp.stack(
         [
             lens.center,
-            lens.curvature,
+            eta * eta,
             1.0 / lens.curvature,
             lens.curvature * lens.curvature,
             cull_r_sq,
@@ -181,6 +184,7 @@ def _trace_block(elems_ref, n_elems, ox, oy, oz, dx, dy, dz):
 
     for i in range(n_elems):
         cz = elems_ref[i, 0]
+        eta_sq = elems_ref[i, 1]
         inv_r = elems_ref[i, 2]
         r_sq = elems_ref[i, 3]
         cull_r_sq = elems_ref[i, 4]
@@ -214,7 +218,7 @@ def _trace_block(elems_ref, n_elems, ox, oy, oz, dx, dy, dz):
         # c1 = -(d . w)/R = ((ox dx + oy dy) - wz dz) * inv_r
         wz = cz - oz
         c1 = ((ox * dx + oy * dy) - wz * dz) * inv_r
-        cs2 = (eta * eta) * (1.0 - c1 * c1)
+        cs2 = eta_sq * (1.0 - c1 * c1)
         tir = (cs2 > tir_thr) & ~fail
         tir_any = tir_any | tir
         fail = fail | tir
