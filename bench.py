@@ -15,10 +15,46 @@ order (sy-major), the order a renderer's bucketed sampler produces.
 import argparse
 import json
 import os
+import socket
 import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+
+def _await_relay(max_wait_s: float) -> None:
+    """Fail fast (or wait boundedly) when the axon relay tunnel is down.
+
+    jax device init otherwise hangs SILENTLY with ~0 CPU when the
+    loopback relay endpoints (127.0.0.1:8082/:8083, injected from
+    outside the container) refuse connections — a wedged/torn-down
+    tunnel looked exactly like a slow compile until r3.  A refused TCP
+    connect is a crisp, side-effect-free probe."""
+    if os.environ.get("JAX_PLATFORMS", "") not in ("", "axon"):
+        return  # explicit non-axon run (cpu tests etc.)
+    deadline = time.time() + max_wait_s
+    while True:
+        s = socket.socket()
+        s.settimeout(2)
+        try:
+            s.connect(("127.0.0.1", 8083))
+            return
+        except OSError:
+            if time.time() > deadline:
+                print(
+                    "bench: axon relay tunnel is DOWN "
+                    "(127.0.0.1:8083 refused for "
+                    f"{max_wait_s:.0f}s) — refusing to hang at device "
+                    "init; restore the tunnel and rerun",
+                    file=sys.stderr,
+                )
+                raise SystemExit(2)
+            time.sleep(5)
+        finally:
+            s.close()
+
+
+_await_relay(float(os.environ.get("BENCH_RELAY_WAIT_S", "120")))
 
 import jax
 import jax.numpy as jnp
