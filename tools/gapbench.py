@@ -28,7 +28,7 @@ from zoic_tpu.ops import trace_kernel
 def measure(state, n, inner, *, max_tries, compact, use_lut, use_profile,
             tile_rows=128, iters=3, bursts=3, era3_h=8, era3_rounds=1,
             precheck_draws=4, dead_heavy=None, era3_far_every=1,
-            bulk_draws=0, skip_era1=False, dual_h=0):
+            bulk_draws=0, skip_era1=False, dual_h=0, round0_draws=0):
     lens = state.lens
     u = jax.random.uniform(jax.random.PRNGKey(0), (4, n), dtype=jnp.float32)
     side = int(n ** 0.5)
@@ -47,6 +47,7 @@ def measure(state, n, inner, *, max_tries, compact, use_lut, use_profile,
                 era3_rounds=era3_rounds, precheck_draws=precheck_draws,
                 dead_heavy=dead_heavy, era3_far_every=era3_far_every,
                 bulk_draws=bulk_draws, skip_era1=skip_era1, dual_h=dual_h,
+                round0_draws=round0_draws,
             )
             return acc + jnp.sum(d[:, 0]) + jnp.sum(t.astype(jnp.float32))
         return jax.lax.fori_loop(0, inner, body, jnp.float32(0.0))
@@ -113,16 +114,18 @@ def main():
             bulk = parts[4] if len(parts) > 4 else 0
             skip1 = bool(parts[5]) if len(parts) > 5 else False
             dualh = parts[6] if len(parts) > 6 else 0
+            r0k = parts[7] if len(parts) > 7 else 0
             r = measure(
                 state, args.batch, args.inner, max_tries=25, compact=True,
                 use_lut=True, use_profile=True, tile_rows=args.tile,
                 era3_h=h, era3_rounds=rr, precheck_draws=k,
                 dead_heavy=dead_heavy, era3_far_every=far,
                 bulk_draws=bulk, skip_era1=skip1, dual_h=dualh,
+                round0_draws=r0k,
             )
             out[spec] = r
             print(f"  era3h={h:3d} rounds={rr} K={k} far={far} bulk={bulk}"
-                  f" skip1={int(skip1)} dualh={dualh}"
+                  f" skip1={int(skip1)} dualh={dualh} r0k={r0k}"
                   f"  {r/1e6:8.1f} M rays/s",
                   file=sys.stderr)
     else:

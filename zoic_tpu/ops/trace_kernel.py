@@ -796,8 +796,8 @@ def _raytraced_kernel(
     #                    streamed planes (image-based bokeh mode)
     dead_heavy: bool,  # low-acceptance schedule regime (lens.dead_frac)
     sched_knobs: tuple,  # (era3_h, era3_rounds, k_draws, era3_far_every,
-    #                      bulk_draws, skip_era1, dual_h) — static sweep
-    #                      parameters (PERF_NOTES r3 schedule sweep)
+    #                      bulk_draws, skip_era1, dual_h, round0_draws) —
+    #                      static sweep parameters (PERF_NOTES r3)
     *refs,
     # ref layout (in order):
     #   elems_ref   SMEM (E, 8)
@@ -894,7 +894,11 @@ def _raytraced_kernel(
         (ox, oy, oz, dx, dy, dz, ok_i, tries, tir_count) = _round_core(
             attempt, seed, max_total, True,
             ids, pcs, z, z, z, z, z, z, zi, tries, zi,
-            k_draws=sched_knobs[2],
+            # round-0 scan depth is separately sweepable: the full-width
+            # chain is throughput-bound, where deeper pre-check scans
+            # are cheap relative to what they keep out of the era
+            # machine (cf. the dead-heavy K=13 lesson, PERF_NOTES)
+            k_draws=sched_knobs[7] or sched_knobs[2],
             first_draws=(u1_ref[:], u2_ref[:]),
         )
     else:
@@ -1497,7 +1501,7 @@ def _shaping_table(lens: LensSystem, use_lut: bool, use_profile: bool):
         "max_tries", "tile_rows", "interpret", "compact", "use_lut",
         "use_profile", "presampled", "era3_h", "era3_rounds",
         "precheck_draws", "dead_heavy", "era3_far_every",
-        "bulk_draws", "skip_era1", "dual_h",
+        "bulk_draws", "skip_era1", "dual_h", "round0_draws",
     ),
 )
 def raytraced_fused(
@@ -1526,6 +1530,7 @@ def raytraced_fused(
     bulk_draws: int = 0,
     skip_era1: bool = False,
     dual_h: int = 0,
+    round0_draws: int = 0,
 ) -> Tuple[Array, Array, Array, Array]:
     """Fused raytraced camera-ray generation, single launch: the whole
     retry budget runs in-kernel.
@@ -1651,7 +1656,7 @@ def raytraced_fused(
         _raytraced_kernel, n_elems, n_keys, max_total, use_lut, use_profile,
         compact, presampled, dead_heavy,
         (era3_h, era3_rounds, precheck_draws, era3_far_every, bulk_draws,
-         skip_era1, dual_h),
+         skip_era1, dual_h, round0_draws),
     )
     n_f32 = len(_plane_layout(use_lut, use_profile))
     scratch_shapes = (
