@@ -97,8 +97,10 @@ def test_compact_dual_trace():
     state = zt.compile_camera(cfg)
     n = 16 * 128 + 77
     oF, dF, tF, tirF = _run(cfg, state, n, compact=False, max_tries=6)
+    # round0_draws=8 rides along: a deeper round-0 scan must also be
+    # trajectory-invariant (counters are per-ray try counts)
     oT, dT, tT, tirT = _run(cfg, state, n, compact=True, max_tries=6,
-                            dual_h=128)
+                            dual_h=128, round0_draws=8)
     np.testing.assert_array_equal(tF, tT)
     np.testing.assert_array_equal(tirF, tirT)
     live = tF <= 6
