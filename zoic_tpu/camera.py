@@ -62,6 +62,18 @@ def compile_camera(
         rx = lensfile.load(config.lens_data_path)
         lens, report = solve.solve_lens(rx, config)
         solve.log_report(report)
+        ae = lens.aperture_element
+        if ae >= 0:
+            # iris refract is the bit-exact identity when its packed eta
+            # is 1.0 (see LensSystem.iris_identity); checked here on the
+            # concrete solve so the kernel can specialize statically
+            import dataclasses
+
+            ior = [float(x) for x in lens.ior]
+            ior_next = ior[ae + 1] if ae + 1 < lens.count else 1.0
+            lens = dataclasses.replace(
+                lens, iris_identity=(ior[ae] == ior_next)
+            )
         if config.kolb_sampling_lut:
             if lut_key is None:
                 lut_key = jax.random.PRNGKey(0)

@@ -39,6 +39,12 @@ def _flatten(state: CameraState):
         "aperture_element": (
             state.lens.aperture_element if state.lens is not None else None
         ),
+        "iris_identity": (
+            state.lens.iris_identity if state.lens is not None else False
+        ),
+        "dead_frac": (
+            state.lens.dead_frac if state.lens is not None else 0.0
+        ),
         "bokeh_wh": (
             [state.bokeh.width, state.bokeh.height]
             if state.bokeh is not None
@@ -83,6 +89,8 @@ def _skeleton(static: dict) -> CameraState:
         LensSystem(
             z, z, z, z, z, z, z, z, z, z, z, z, z, lut, profile,
             aperture_element=static["aperture_element"],
+            iris_identity=static.get("iris_identity", False),
+            dead_frac=static.get("dead_frac", 0.0),
         )
         if static["has_lens"]
         else None

@@ -153,7 +153,8 @@ def _fast_sqrt(x):
     return x * jax.lax.rsqrt(jnp.maximum(x, jnp.float32(1e-35)))
 
 
-def _trace_block(elems_ref, n_elems, ox, oy, oz, dx, dy, dz):
+def _trace_block(elems_ref, n_elems, ox, oy, oz, dx, dy, dz,
+                 iris_idx=-1):
     """Unrolled element-stack trace on one ray tile (values, not refs).
 
     Returns (ox, oy, oz, dx, dy, dz, ok, tir_any) with the reference's
@@ -212,6 +213,16 @@ def _trace_block(elems_ref, n_elems, ox, oy, oz, dx, dy, dz):
         ox = jnp.where(fail, ox, hx)
         oy = jnp.where(fail, oy, hy)
         oz = jnp.where(fail, oz, oz + dz * t)
+
+        if i == iris_idx:
+            # Iris: packed eta == 1.0 (gated statically by
+            # LensSystem.iris_identity) makes the refract chain the
+            # bit-exact identity: tir_thr = +inf (no TIR), and
+            # k = c1 - |c1| = 0 because c1 ~ |dz| + O(1/R) > 0 at the
+            # flattened (R ~ 1e5) stop for every forward ray — so
+            # d' = 1*d - 0*w IS d, bitwise.  Skips ~20 ops/attempt;
+            # the oracle 1e-5 gates run with the skip active.
+            continue
 
         # refract via the unscaled w = c - hit (one inv_r scale on the dot
         # and one on k instead of three on the normal components):
@@ -795,6 +806,8 @@ def _raytraced_kernel(
     presampled: bool,  # u refs are [-1,1] bokeh offsets; retry draws from
     #                    streamed planes (image-based bokeh mode)
     dead_heavy: bool,  # low-acceptance schedule regime (lens.dead_frac)
+    iris_idx: int,     # static iris index for the refract-identity skip
+    #                    (-1 = disabled; see LensSystem.iris_identity)
     sched_knobs: tuple,  # (era3_h, era3_rounds, k_draws, era3_far_every,
     #                      bulk_draws, skip_era1, dual_h, round0_draws) —
     #                      static sweep parameters (PERF_NOTES r3)
@@ -851,7 +864,7 @@ def _raytraced_kernel(
                 ty = ly * ms
             return _trace_block(
                 elems_ref, n_elems, fx, fy, fz, tx - fx, ty - fy,
-                jnp.zeros_like(fx) + dz0,
+                jnp.zeros_like(fx) + dz0, iris_idx=iris_idx,
             )
 
         return attempt
@@ -1655,6 +1668,7 @@ def raytraced_fused(
     kernel = functools.partial(
         _raytraced_kernel, n_elems, n_keys, max_total, use_lut, use_profile,
         compact, presampled, dead_heavy,
+        (lens.aperture_element if lens.iris_identity else -1),
         (era3_h, era3_rounds, precheck_draws, era3_far_every, bulk_draws,
          skip_era1, dual_h, round0_draws),
     )

@@ -109,6 +109,15 @@ class LensSystem:
     # keep whole-tile rounds until the budget drains, because folding can't
     # shrink a working set that never resolves.
     dead_frac: float = dataclasses.field(metadata=dict(static=True), default=0.0)
+    # The iris row's packed eta is exactly 1.0 for every shipped
+    # prescription (air on both sides), which makes its refract chain the
+    # bit-exact identity for forward rays (k = c1 - |c1| = 0; c1 ~ |dz| +
+    # O(1/R) > 0 at the flattened R~1e5 stop).  Verified at compile time
+    # (camera.compile_camera) and used to skip ~20 ops/attempt in the
+    # fused kernel (trace_kernel._trace_block).
+    iris_identity: bool = dataclasses.field(
+        metadata=dict(static=True), default=False
+    )
 
     @property
     def count(self) -> int:
