@@ -62,18 +62,24 @@ def compile_camera(
         rx = lensfile.load(config.lens_data_path)
         lens, report = solve.solve_lens(rx, config)
         solve.log_report(report)
-        ae = lens.aperture_element
-        if ae >= 0:
-            # iris refract is the bit-exact identity when its packed eta
-            # is 1.0 (see LensSystem.iris_identity); checked here on the
-            # concrete solve so the kernel can specialize statically
-            import dataclasses
+        # Static kernel specializations from the concrete solve: the iris
+        # refract-identity (see LensSystem.iris_identity) and the
+        # per-element topological flags (TIR possible / negative
+        # curvature — see LensSystem.elem_flags).
+        import dataclasses
 
-            ior = [float(x) for x in lens.ior]
-            ior_next = ior[ae + 1] if ae + 1 < lens.count else 1.0
-            lens = dataclasses.replace(
-                lens, iris_identity=(ior[ae] == ior_next)
-            )
+        ior = [float(x) for x in lens.ior]
+        ior_nx = ior[1:] + [1.0]
+        curv = [float(x) for x in lens.curvature]
+        flags = tuple(
+            (1 if a > b else 0) | (2 if c < 0.0 else 0)
+            for a, b, c in zip(ior, ior_nx, curv)
+        )
+        ae = lens.aperture_element
+        iris_id = bool(ae >= 0 and ior[ae] == ior_nx[ae])
+        lens = dataclasses.replace(
+            lens, iris_identity=iris_id, elem_flags=flags
+        )
         if config.kolb_sampling_lut:
             if lut_key is None:
                 lut_key = jax.random.PRNGKey(0)

@@ -45,6 +45,9 @@ def _flatten(state: CameraState):
         "dead_frac": (
             state.lens.dead_frac if state.lens is not None else 0.0
         ),
+        "elem_flags": (
+            list(state.lens.elem_flags) if state.lens is not None else []
+        ),
         "bokeh_wh": (
             [state.bokeh.width, state.bokeh.height]
             if state.bokeh is not None
@@ -91,6 +94,7 @@ def _skeleton(static: dict) -> CameraState:
             aperture_element=static["aperture_element"],
             iris_identity=static.get("iris_identity", False),
             dead_frac=static.get("dead_frac", 0.0),
+            elem_flags=tuple(static.get("elem_flags", ())),
         )
         if static["has_lens"]
         else None

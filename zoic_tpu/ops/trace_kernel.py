@@ -154,7 +154,7 @@ def _fast_sqrt(x):
 
 
 def _trace_block(elems_ref, n_elems, ox, oy, oz, dx, dy, dz,
-                 iris_idx=-1):
+                 iris_idx=-1, flags=()):
     """Unrolled element-stack trace on one ray tile (values, not refs).
 
     Returns (ox, oy, oz, dx, dy, dz, ok, tir_any) with the reference's
@@ -190,8 +190,13 @@ def _trace_block(elems_ref, n_elems, ox, oy, oz, dx, dy, dz,
         r_sq = elems_ref[i, 3]
         cull_r_sq = elems_ref[i, 4]
         eta = elems_ref[i, 5]
-        tir_thr = elems_ref[i, 6]
-        sign_r = elems_ref[i, 7]
+        # static per-element flags (LensSystem.elem_flags) replace the
+        # packed sign_r multiply and the tir_thr compare when present —
+        # both are topological, stable across focus/rescale
+        can_tir = (flags[i] & 1) if flags else None
+        neg_r = (flags[i] & 2) if flags else None
+        tir_thr = None if flags else elems_ref[i, 6]
+        sign_r = None if flags else elems_ref[i, 7]
 
         # sphere intersect with the on-axis center (0, 0, cz):
         # L = c - o has Lx = -ox, Ly = -oy, so the dot products reduce
@@ -203,7 +208,10 @@ def _trace_block(elems_ref, n_elems, ox, oy, oz, dx, dy, dz,
         pz = lz - tca * dz
         d2 = px * px + py * py + pz * pz
         thc = _fast_sqrt(jnp.abs(r_sq - d2))
-        t = tca + thc * sign_r
+        if flags:
+            t = tca - thc if neg_r else tca + thc
+        else:
+            t = tca + thc * sign_r
         hx = ox + dx * t
         hy = oy + dy * t
         h2 = hx * hx + hy * hy
@@ -230,9 +238,13 @@ def _trace_block(elems_ref, n_elems, ox, oy, oz, dx, dy, dz,
         wz = cz - oz
         c1 = ((ox * dx + oy * dy) - wz * dz) * inv_r
         cs2 = eta_sq * (1.0 - c1 * c1)
-        tir = (cs2 > tir_thr) & ~fail
-        tir_any = tir_any | tir
-        fail = fail | tir
+        if flags and not can_tir:
+            pass  # ior non-decreasing: TIR impossible (zoic.cpp:1135)
+        else:
+            thr = jnp.float32(1.0) if flags else tir_thr
+            tir = (cs2 > thr) & ~fail
+            tir_any = tir_any | tir
+            fail = fail | tir
         k = eta * c1 - _fast_sqrt(jnp.abs(1.0 - cs2))
         # failed rays refract by the identity: d' = 1*d + 0*w
         kk = jnp.where(fail, 0.0, k * inv_r)
@@ -808,6 +820,7 @@ def _raytraced_kernel(
     dead_heavy: bool,  # low-acceptance schedule regime (lens.dead_frac)
     iris_idx: int,     # static iris index for the refract-identity skip
     #                    (-1 = disabled; see LensSystem.iris_identity)
+    elem_flags: tuple,  # static per-element flags (LensSystem.elem_flags)
     sched_knobs: tuple,  # (era3_h, era3_rounds, k_draws, era3_far_every,
     #                      bulk_draws, skip_era1, dual_h, round0_draws) —
     #                      static sweep parameters (PERF_NOTES r3)
@@ -865,6 +878,7 @@ def _raytraced_kernel(
             return _trace_block(
                 elems_ref, n_elems, fx, fy, fz, tx - fx, ty - fy,
                 jnp.zeros_like(fx) + dz0, iris_idx=iris_idx,
+                flags=elem_flags,
             )
 
         return attempt
@@ -1669,6 +1683,7 @@ def raytraced_fused(
         _raytraced_kernel, n_elems, n_keys, max_total, use_lut, use_profile,
         compact, presampled, dead_heavy,
         (lens.aperture_element if lens.iris_identity else -1),
+        lens.elem_flags if len(lens.elem_flags) == n_elems else (),
         (era3_h, era3_rounds, precheck_draws, era3_far_every, bulk_draws,
          skip_era1, dual_h, round0_draws),
     )

@@ -118,6 +118,16 @@ class LensSystem:
     iris_identity: bool = dataclasses.field(
         metadata=dict(static=True), default=False
     )
+    # Per-element TOPOLOGICAL flags, stable under focus/rescale (signs of
+    # curvature and the ior ordering don't change when the stack is
+    # scaled): bit0 = TIR possible (ior decreasing, the reference's
+    # ``ior > ior_next`` gate, zoic.cpp:1135), bit1 = negative curvature
+    # (intersection picks tca - thc).  Set by camera.compile_camera from
+    # the concrete solve; () disables the static specialization (the
+    # kernel falls back to the packed SMEM sign_r/tir_thr columns).
+    elem_flags: tuple = dataclasses.field(
+        metadata=dict(static=True), default=()
+    )
 
     @property
     def count(self) -> int:
