@@ -19,5 +19,13 @@ echo "=== 2. schedule sweep (dual_h x round0_draws) ==="
 timeout 3000 python tools/gapbench.py --sweep \
   8/1/4/1/0/0/0/0,8/1/4/1/0/0/8/0,8/1/4/1/0/0/32/0,8/1/4/1/0/0/8/8,8/1/4/1/0/0/0/8,8/1/4/1/0/0/0/13,8/1/6/1/0/0/8/8 \
   2>&1 | tail -20
-echo "=== 3. cross-config ==="
+echo "=== 3. dead-heavy K re-sweep (fisheye) ==="
+# the r2 optimum K=13 predates the cos4+margin bound: dead keys now
+# pre-reject ~100% of draws, so deeper pure-precheck chains (up to the
+# whole budget) may win
+timeout 3000 python tools/gapbench.py --lens fisheye_muller_f4.0 \
+  --fstop 4.0 --dead-heavy on --sweep \
+  8/1/13/1/0/0/0/0,8/1/20/1/0/0/0/0,8/1/26/1/0/0/0/0,8/1/13/1/0/0/8/0 \
+  2>&1 | tail -8
+echo "=== 4. cross-config ==="
 timeout 3000 python bench.py --all 2>&1 | tail -30
