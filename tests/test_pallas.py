@@ -117,6 +117,38 @@ def test_pallas_no_iris_lens(samples):
     assert int(stats.success) + int(stats.vignetted) == sx.shape[0]
 
 
+def test_static_flags_match_dynamic(samples):
+    """The static topology specialization (LensSystem.iris_identity /
+    elem_flags) vs the packed-column fallback: try/TIR accounting must
+    be exact (the folds are the reference's own runtime gates moved to
+    compile time); payloads agree to cross-program fma-schedule noise
+    (the two variants compile to different instruction mixes even where
+    the math is identical — e.g. ``tca + thc`` vs ``tca + thc*1.0``)."""
+    import dataclasses
+    from zoic_tpu.ops import trace_kernel
+
+    sx, sy, u, v = samples
+    cfg = _cfg("pallas", max_tries=0)
+    state = zt.compile_camera(cfg)
+    lens = state.lens
+    assert lens.iris_identity and len(lens.elem_flags) == lens.count
+    plain = dataclasses.replace(lens, iris_identity=False, elem_flags=())
+
+    outs = [
+        trace_kernel.raytraced_fused(
+            lv, sx, sy, u, v, state.sensor_width, jnp.int32(3),
+            max_tries=0, interpret=True, compact=False, use_lut=True,
+            use_profile=False,
+        )
+        for lv in (lens, plain)
+    ]
+    (o1, d1, t1, r1), (o2, d2, t2, r2) = outs
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=6e-6)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=6e-6)
+
+
 def test_pallas_odd_batch_padding():
     """Batch sizes not divisible by the tile are padded and unpadded."""
     n = 1000  # not a multiple of 128
