@@ -98,7 +98,7 @@ def _samples(n, seed=0, raster=True):
 
 def bench_config(
     cfg: zt.CameraConfig, n: int, iters: int, inner: int = 16, warmup: int = 2,
-    raster: bool = True,
+    raster: bool = True, mesh: bool = False,
 ) -> dict:
     """Median steady-state throughput for one config (``inner`` whole-batch
     generations per timed launch — a renderer batches frames the same way;
@@ -108,6 +108,15 @@ def bench_config(
     and the vignetted fraction."""
     state = zt.compile_camera(cfg)
     sx, sy, lx, ly = _samples(n, raster=raster)
+    if mesh:
+        # DP over every attached chip (parallel.sharding): batch sharded
+        # on the ray axis over a 1-D ICI mesh, lens state replicated,
+        # stats psum-reduced — rays never communicate, so scaling is
+        # linear minus the psum epilogue
+        from zoic_tpu.parallel import sharding as _shd
+
+        m = _shd.make_mesh()
+        sx, sy = _shd.shard_samples(m, sx, sy)
     base_key = jax.random.PRNGKey(42)
 
     @jax.jit
@@ -122,7 +131,14 @@ def bench_config(
             # (VERDICT r2 #3); a renderer draws fresh lens samples per AA
             # sample anyway.  Screen samples stay fixed (the pixel grid).
             u = jax.random.uniform(k, (2,) + sx.shape, dtype=jnp.float32)
-            rays, stats = zt.create_rays(state, cfg, sx, sy, u[0], u[1], k)
+            if mesh:
+                rays, stats = _shd.create_rays_sharded(
+                    m, state, cfg, sx, sy, u[0], u[1], k
+                )
+            else:
+                rays, stats = zt.create_rays(
+                    state, cfg, sx, sy, u[0], u[1], k
+                )
             # consume outputs so nothing is dead-code eliminated
             acc = acc + jnp.sum(rays.weight) + jnp.sum(rays.dir[:, 0])
             return (
@@ -179,6 +195,9 @@ def main():
     ap.add_argument("--inner", type=int, default=16)
     ap.add_argument("--random-order", action="store_true",
                     help="shuffled sample order instead of raster order")
+    ap.add_argument("--mesh", action="store_true",
+                    help="shard the batch over ALL attached devices "
+                         "(DP over ICI; reports aggregate and per-chip)")
     ap.add_argument("--all", action="store_true", help="run all baseline configs")
     ap.add_argument("--only", type=str, default="",
                     help="with --all: comma list of substrings; run only "
@@ -277,8 +296,9 @@ def main():
         return
     res = bench_config(
         north_star, args.batch, args.iters, args.inner,
-        raster=not args.random_order,
+        raster=not args.random_order, mesh=args.mesh,
     )
+    n_dev = jax.device_count() if args.mesh else 1
     att = res["attempts_per_ray"]
     # roofline telemetry (PERF_NOTES r3): useful-work VPU ops per ray from
     # the cost model / measured issue-rate peak -> model FLOP utilization.
@@ -288,10 +308,16 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "camera_rays_per_sec_chip_double_gauss_f2.0_lut",
+                "metric": (
+                    "camera_rays_per_sec_chip_double_gauss_f2.0_lut"
+                    if n_dev == 1
+                    else f"camera_rays_per_sec_mesh{n_dev}_double_gauss"
+                ),
                 "value": res["rays_per_sec"],
                 "unit": "rays/sec",
-                "vs_baseline": res["rays_per_sec"] / TARGET_RAYS_PER_SEC,
+                "vs_baseline": (
+                    res["rays_per_sec"] / n_dev / TARGET_RAYS_PER_SEC
+                ),
                 "attempts_per_ray": att,
                 "vignetted_frac": res["vignetted_frac"],
                 "vpu_peak_tops": VPU_PEAK_OPS / 1e12,
