@@ -209,6 +209,10 @@ def main():
     ap.add_argument("--no-precheck", action="store_true",
                     help="disable the polar pupil pre-check")
     args = ap.parse_args()
+    if args.only and not args.all:
+        # --only filters the --all config table; alone it would silently
+        # benchmark nothing (ADVICE r3) — imply --all so the intent works
+        args.all = True
 
     dg = zt.data.lens_path("double_gauss_f2.0")
     north_star = zt.CameraConfig(

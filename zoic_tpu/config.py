@@ -23,8 +23,107 @@ class LensModel(enum.Enum):
     RAYTRACED = 1
 
 
-# Validation ranges lifted from the reference UI metadata (src/zoic.mtd).
-# (min, max) — hard bounds; the soft ranges are UI-only and not enforced.
+# Full per-attribute UI schema lifted from the reference metadata file
+# (src/zoic.mtd:17-155): hard range (min/max), soft UI-slider range
+# (softmin/softmax, None where the .mtd omits one), the .mtd default, and
+# the user-facing description string.  Keys are the config field names;
+# ``attr`` is the Arnold attribute name the .mtd block declares.  Note the
+# .mtd defaults differ from the node_parameters defaults in places
+# (focalLength 3.5 vs 2.0, fStop 2.8 vs 4.0, focalDistance 120 vs 100 —
+# zoic.cpp:1547-1562 is what the plugin actually instantiates, so
+# CameraConfig uses those); the .mtd default is carried here verbatim as
+# UI metadata only.
+PARAM_SCHEMA = {
+    "sensor_width": {
+        "attr": "sensorWidth", "min": 0.1, "max": 10.0,
+        "softmin": None, "softmax": None, "default": 3.6,
+        "desc": "Width of the sensor in centimeters. Default value is the "
+                "width of a full frame sensor.",
+    },
+    "sensor_height": {
+        "attr": "sensorHeight", "min": 0.1, "max": 10.0,
+        "softmin": None, "softmax": None, "default": 2.4,
+        "desc": "Height of the sensor in centimeters. Default value is the "
+                "height of a full frame sensor.",
+    },
+    "focal_length": {
+        "attr": "focalLength", "min": 0.1, "max": 100.0,
+        "softmin": 0.8, "softmax": 20.0, "default": 3.5,
+        "desc": "Distance between the lens and the point at which the light "
+                "converges in millimeters.",
+    },
+    "fstop": {
+        "attr": "fStop", "min": 0.01, "max": 100.0,
+        "softmin": 0.7, "softmax": 32.0, "default": 2.8,
+        "desc": "Ratio of the distance from the lens to the point where the "
+                "focused light converges (the focal length) over the "
+                "diameter of the aperture.",
+    },
+    "focal_distance": {
+        "attr": "focalDistance", "min": 0.001, "max": 99999.0,
+        "softmin": None, "softmax": None, "default": 120.0,
+        "desc": "Distance between lens and object in focus in millimeters.",
+    },
+    "use_image": {
+        "attr": "useImage", "min": None, "max": None,
+        "softmin": None, "softmax": None, "default": False,
+        "desc": "Enable Image based bokeh",
+    },
+    "bokeh_path": {
+        "attr": "bokehPath", "min": None, "max": None,
+        "softmin": None, "softmax": None, "default": "",
+        "desc": "Path to bokeh image. No need to convert to .tx",
+    },
+    "lens_model": {
+        "attr": "lensModel", "min": None, "max": None,
+        "softmin": None, "softmax": None, "default": "RAYTRACED",
+        "desc": "Lens Model",
+    },
+    "lens_data_path": {
+        "attr": "lensDataPath", "min": None, "max": None,
+        "softmin": None, "softmax": None, "default": "",
+        "desc": "Path to lens data file",
+    },
+    "kolb_sampling_lut": {
+        "attr": "kolbSamplingLUT", "min": None, "max": None,
+        "softmin": None, "softmax": None, "default": True,
+        "desc": "Use lookup table",
+    },
+    "use_dof": {
+        "attr": "useDof", "min": None, "max": None,
+        "softmin": None, "softmax": None, "default": True,
+        "desc": "Enable Depth of Field",
+    },
+    "optical_vignetting_distance": {
+        "attr": "opticalVignettingDistance", "min": 0.0, "max": 1000.0,
+        "softmin": None, "softmax": 50.0, "default": 0.0,
+        "desc": "Sometimes referred to as the cat-eye effect, this is a lens "
+                "imperfection that is not caused by the glass but by the "
+                "outer edge of the lens, also known as the exit aperture. "
+                "When the main aperture is fully open, light coming into the "
+                "camera from steep angles will be blocked partially by the "
+                "edge of the lens. This creates cat-eye like bokeh shapes "
+                "near the edges of an image. It should be noted that this "
+                "lens effect is purely mechanical and can not be confused "
+                "with lens distortion.",
+    },
+    "optical_vignetting_radius": {
+        "attr": "opticalVignettingRadius", "min": 1.0, "max": 5.0,
+        "softmin": None, "softmax": 2.0, "default": 1.0,
+        "desc": "A multiplier on the actual aperture radius to determine the "
+                "size of the virtual aperture.",
+    },
+    "exposure_control": {
+        "attr": "exposureControl", "min": -100.0, "max": 100.0,
+        "softmin": -5.0, "softmax": 5.0, "default": 0.0,
+        "desc": "Multiplier on the ray weight.",
+    },
+}
+
+# Validation ranges enforced at construction time.  Mostly the .mtd hard
+# bounds; focal_distance / optical-vignetting bounds are relaxed where the
+# plugin code itself accepts the wider value (the .mtd bound is a UI
+# constraint, not a numerics one — PARAM_SCHEMA carries it verbatim).
 _RANGES = {
     "sensor_width": (0.1, 10.0),        # zoic.mtd [attr sensorWidth]
     "sensor_height": (0.1, 10.0),       # zoic.mtd [attr sensorHeight]

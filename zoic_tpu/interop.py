@@ -11,7 +11,7 @@ reference's DCC workflow gets identical configurations.
 
 from __future__ import annotations
 
-from .config import CameraConfig, LensModel
+from .config import PARAM_SCHEMA, CameraConfig, LensModel
 
 
 def from_maya_camera(
@@ -60,6 +60,23 @@ def to_node_parameters(config: CameraConfig) -> dict:
         "opticalVignettingRadius": config.optical_vignetting_radius,
         "exposureControl": config.exposure_control,
     }
+
+
+def node_parameter_schema(config: CameraConfig | None = None) -> dict:
+    """The reference's full UI metadata per Arnold attribute
+    (src/zoic.mtd:17-155): hard min/max, soft UI-slider range, .mtd
+    default, and description string — keyed by Arnold attr name, with the
+    current config value attached when ``config`` is given.  This is the
+    schema a DCC front-end (the Maya AE template / C4D .res files, C24/C25)
+    would render."""
+    values = to_node_parameters(config) if config is not None else {}
+    out = {}
+    for field, meta in PARAM_SCHEMA.items():
+        entry = {k: v for k, v in meta.items() if k != "attr"}
+        if meta["attr"] in values:
+            entry["value"] = values[meta["attr"]]
+        out[meta["attr"]] = entry
+    return out
 
 
 def from_node_parameters(params: dict, **extra) -> CameraConfig:

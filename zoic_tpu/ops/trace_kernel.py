@@ -741,7 +741,9 @@ def _round_core(
             ndx = jnp.where(useB, nbdx, ndx)
             ndy = jnp.where(useB, nbdy, ndy)
             ndz = jnp.where(useB, nbdz, ndz)
-            nok = jnp.where(useB, nbok, nok)
+            # bitwise merge, not jnp.where: Mosaic has no i1 vector selects
+            # (a bool where lowers through i8 and dies in trunci i8->i1)
+            nok = (nbok & useB) | (nok & ~useB)
             consumed = consumed + jnp.where(b_live, consumed2, 0)
             merge = merge | useB
         else:
@@ -797,13 +799,27 @@ def _bitonic_unsort_rows(key, arrays, rows, group_stride=1):
     return key, arrays
 
 
-def _roll_rows_dyn(a, shift):
+def _roll_rows_dyn(a, shift, max_shift=None):
     """Circular row shift by a TRACED amount: bit-decomposed composition of
-    static ``pltpu.roll``s (Mosaic requires static shifts)."""
+    static ``pltpu.roll``s (Mosaic requires static shifts).  ``max_shift``
+    (static, exclusive) bounds the decomposition when the caller knows the
+    shift's range — fewer roll/select stages."""
     rows = a.shape[0]
+    hi = rows if max_shift is None else min(rows, max_shift)
     b = 1
-    while b < rows:
-        a = jnp.where(shift & b != 0, pltpu.roll(a, b, axis=0), a)
+    while b < hi:
+        a = jnp.where(shift & b != 0, pltpu.roll(a, b % rows, axis=0), a)
+        b *= 2
+    return a
+
+
+def _roll_lanes_dyn(a, shift, max_shift=None):
+    """Circular LANE shift by a traced amount (axis-1 twin of
+    :func:`_roll_rows_dyn`)."""
+    hi = LANES if max_shift is None else min(LANES, max_shift)
+    b = 1
+    while b < hi:
+        a = jnp.where(shift & b != 0, pltpu.roll(a, b % LANES, axis=1), a)
         b *= 2
     return a
 
@@ -824,6 +840,10 @@ def _raytraced_kernel(
     sched_knobs: tuple,  # (era3_h, era3_rounds, k_draws, era3_far_every,
     #                      bulk_draws, skip_era1, dual_h, round0_draws) —
     #                      static sweep parameters (PERF_NOTES r3)
+    plane_tiles: int,  # presampled retry planes: tiles share plane block
+    #                    i % plane_tiles; >0 when blocks ARE shared (grid >
+    #                    plane_tiles), enabling the per-reuse decorrelating
+    #                    rotation (ADVICE r3)
     *refs,
     # ref layout (in order):
     #   elems_ref   SMEM (E, 8)
@@ -958,7 +978,13 @@ def _raytraced_kernel(
                 # retry draw for round r comes from streamed plane
                 # (r-1) % P; reuse cycles read the plane row-rotated by a
                 # distinct shift, so every ray's draw SEQUENCE is distinct
-                # iid bokeh samples (cross-ray sharing only; PARITY.md)
+                # iid bokeh samples (cross-ray sharing only; PARITY.md).
+                # Tiles sharing a plane block (grid > plane_tiles) fold
+                # their reuse index into the rotation so no two tiles read
+                # a block identically (ADVICE r3: without this, rays
+                # exactly plane_tiles*tile_area apart consumed
+                # byte-identical retry sequences — a fixed-pixel-stride
+                # bokeh aliasing risk in a real render).
                 p = bu1_ref.shape[0]
                 cyc = (rnd - 1) // p
                 pidx = (rnd - 1) - cyc * p
@@ -966,6 +992,12 @@ def _raytraced_kernel(
                 u1p = bu1_ref[pl.ds(pidx, 1), :, :].reshape(rows_, LANES)
                 u2p = bu2_ref[pl.ds(pidx, 1), :, :].reshape(rows_, LANES)
                 shift = cyc * 3
+                if plane_tiles:
+                    t_reuse = pl.program_id(0) // plane_tiles
+                    shift = shift + t_reuse * 5
+                    lsh = t_reuse * 21
+                    u1p = _roll_lanes_dyn(u1p, lsh)
+                    u2p = _roll_lanes_dyn(u2p, lsh)
                 u1p = _roll_rows_dyn(u1p, shift)
                 u2p = _roll_rows_dyn(u2p, shift)
                 draws = (u1p, u2p)
@@ -1064,6 +1096,20 @@ def _raytraced_kernel(
                         m = (pidx == pp) & (cyc == cc)
                         u1 = jnp.where(m, v1, u1)
                         u2 = jnp.where(m, v2, u2)
+                if plane_tiles:
+                    # decorrelate cross-tile plane-block sharing (ADVICE
+                    # r3): one uniform extra (row, lane) rotation per
+                    # tile-reuse index.  A tile-constant rotation is a
+                    # bijection of region positions, so the per-try
+                    # injectivity of (plane, shift, position) cells within
+                    # a tile is preserved; tiles sharing a block now read
+                    # it under distinct rotations.
+                    t_reuse = pl.program_id(0) // plane_tiles
+                    u1 = _roll_rows_dyn(u1, t_reuse * 5)
+                    u2 = _roll_rows_dyn(u2, t_reuse * 5)
+                    lsh = t_reuse * 21
+                    u1 = _roll_lanes_dyn(u1, lsh)
+                    u2 = _roll_lanes_dyn(u2, lsh)
                 draws = (u1, u2)
             out = _round_core(
                 att, seed, max_total, use_profile,
@@ -1170,6 +1216,8 @@ def _thinlens_kernel(
     max_tries: int,
     presampled: bool,  # u refs hold [-1,1] aperture offsets (image bokeh)
     compact: bool,     # era-fold straggler compaction (concentric OV only)
+    plane_tiles: int,  # >0: retry-plane blocks shared across tiles; fold
+    #                    the reuse index into the rotation (ADVICE r3)
     *refs,
     # ref layout:
     #   scal_ref  SMEM (8,): tan_fov, ap_radius, focal_dist, ovd, ovr, seed
@@ -1331,8 +1379,16 @@ def _thinlens_kernel(
                 rows_ = sx.shape[0]
                 u1 = bu1_ref[pl.ds(pidx, 1), :, :].reshape(rows_, LANES)
                 u2 = bu2_ref[pl.ds(pidx, 1), :, :].reshape(rows_, LANES)
-                u1 = _roll_rows_dyn(u1, cyc * 3)
-                u2 = _roll_rows_dyn(u2, cyc * 3)
+                shift = cyc * 3
+                if plane_tiles:
+                    # distinct rotation per tile-reuse index (ADVICE r3)
+                    t_reuse = pl.program_id(0) // plane_tiles
+                    shift = shift + t_reuse * 5
+                    lsh = t_reuse * 21
+                    u1 = _roll_lanes_dyn(u1, lsh)
+                    u2 = _roll_lanes_dyn(u2, lsh)
+                u1 = _roll_rows_dyn(u1, shift)
+                u2 = _roll_rows_dyn(u2, shift)
             else:
                 u1 = _hash_uniform(ids, seed, rnd, 0x11111111)
                 u2 = _hash_uniform(ids, seed, rnd, 0x22222222)
@@ -1464,7 +1520,8 @@ def thinlens_fused(
             )
         ] * 2
     kernel = functools.partial(
-        _thinlens_kernel, use_dof, has_ov, max_tries, presampled, compact
+        _thinlens_kernel, use_dof, has_ov, max_tries, presampled, compact,
+        plane_tiles if plane_tiles < total_rows // tile_rows else 0,
     )
     scratch_shapes = (
         [
@@ -1556,7 +1613,7 @@ def raytraced_fused(
     era3_far_every: int = 1,
     bulk_draws: int = 0,
     skip_era1: bool = False,
-    dual_h: int = 0,
+    dual_h: int = 8,  # r4 chip sweep: 688 vs 651M at dual_h=0 (PERF_NOTES)
     round0_draws: int = 0,
 ) -> Tuple[Array, Array, Array, Array]:
     """Fused raytraced camera-ray generation, single launch: the whole
@@ -1686,6 +1743,7 @@ def raytraced_fused(
         lens.elem_flags if len(lens.elem_flags) == n_elems else (),
         (era3_h, era3_rounds, precheck_draws, era3_far_every, bulk_draws,
          skip_era1, dual_h, round0_draws),
+        plane_tiles if plane_tiles < total_rows // tile_rows else 0,
     )
     n_f32 = len(_plane_layout(use_lut, use_profile))
     scratch_shapes = (

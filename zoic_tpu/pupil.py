@@ -225,7 +225,7 @@ def build_profile(
     ok = trace.trace_stack(lens, V3(fx, fy, oz), d).ok
 
     # per-key draw acceptance under the ACTIVE cover — the retry machine's
-    # scheduling signal (see acceptance_stats); uniform-disk draws make
+    # scheduling signal (see dead_film_fraction); uniform-disk draws make
     # this exactly P(candidate survives | film at key k)
     key_acceptance = jnp.mean(ok.astype(jnp.float32), axis=1)  # [K]
 
@@ -280,6 +280,39 @@ def build_profile(
         c1 = jnp.zeros_like(c0)
         c2 = jnp.zeros_like(c0)
         c4 = jnp.zeros_like(c0)
+
+    # Held-out validation (ADVICE r3): the (+0.005, x1.01) margin was sized
+    # on the shipped lens library; for an arbitrary user lens it is an
+    # unvalidated MC guard, and an unsound bound silently vignettes rays
+    # the exact trace accepts.  Trace an INDEPENDENT sample set and loosen
+    # c0 per-key by any observed violation (accepted sample whose radius
+    # exceeds the fitted bound at its azimuth), so every observed flip on
+    # 2x n_samples/key draws is corrected at build time.  Residual risk is
+    # the MC tail beyond both sets — the same class as the reference's
+    # bare x1.05 LUT margin (zoic.cpp:1463).
+    uh = jax.random.uniform(
+        jax.random.fold_in(key, 1), (2, n_keys, n_samples), dtype=jnp.float32
+    )
+    rho_h = jnp.sqrt(uh[0])
+    phi_h = (uh[1] * 2.0 - 1.0) * jnp.pi
+    lxh = rho_h * jnp.cos(phi_h)
+    lyh = rho_h * jnp.sin(phi_h)
+    if lut is not None:
+        pxh = lxh * ms + trn
+        pyh = lyh * ms
+    else:
+        pxh = lxh * lens.aperture[0]
+        pyh = lyh * lens.aperture[0]
+    dh = V3(pxh - fx, pyh - fy, jnp.zeros_like(fx) - lens.thickness[0])
+    ok_h = trace.trace_stack(lens, V3(fx, fy, oz), dh).ok
+    bound_h = (
+        c0[:, None]
+        + c1[:, None] * jnp.cos(phi_h)
+        + c2[:, None] * jnp.cos(2.0 * phi_h)
+        + c4[:, None] * jnp.cos(4.0 * phi_h)
+    )
+    viol = jnp.max(jnp.where(ok_h, rho_h - bound_h, -jnp.inf), axis=1)  # [K]
+    c0 = c0 + jnp.maximum(viol, 0.0)
     return (
         PupilProfile(keys=keys, c0=c0, c1=c1, c2=c2, c4=c4),
         key_acceptance,

@@ -103,7 +103,7 @@ class LensSystem:
     # Film-area fraction whose per-draw acceptance is so low the retry
     # budget will exhaust ("vignetted by design", e.g. 57% for the fisheye —
     # zoic.cpp:1458-1544's self-test shows those pupils).  Measured at
-    # profile-build time (pupil.acceptance_stats), QUANTIZED to one decimal
+    # profile-build time (pupil.dead_film_fraction), QUANTIZED to one decimal
     # so same-shape lenses share jit cache entries.  Drives the compaction
     # schedule regime (trace_kernel._compaction_schedule): dead-heavy lenses
     # keep whole-tile rounds until the budget drains, because folding can't
@@ -144,6 +144,13 @@ class BokehImage:
     row_indices: Array    # i32[h]    descending-sum row order
     cdf_col: Array        # f32[h, w] per-row CDF over sorted columns
     col_indices: Array    # i32[h, w] per-row descending column order (global idx)
+    # precomputed [-1, 1] remaps of the discrete picks (bokehSample's
+    # centering + scaling, zoic.cpp:441-485), built with HOST true f32
+    # division: XLA rewrites division-by-constant to multiply-by-reciprocal
+    # under jit (1 ulp off), so selecting final values keeps the fused
+    # sampler (ops/bokeh_kernel.py) bit-equal to the C++ inversion
+    dx_col: Array         # f32[h, w] final dx per (row, sorted col)
+    dy_srow: Array        # f32[h]    final dy per SORTED row index
     width: int = dataclasses.field(metadata=dict(static=True), default=0)
     height: int = dataclasses.field(metadata=dict(static=True), default=0)
 
