@@ -83,11 +83,28 @@ def build(pixels: np.ndarray) -> BokehImage:
     sorted_vals = np.take_along_axis(per_row, order, axis=1)
     cdf_col = np.cumsum(sorted_vals, axis=1, dtype=np.float32)
 
+    # Precompute the final [-1, 1] remaps (zoic.cpp:441-485) with NUMPY's
+    # true f32 division: under jit XLA rewrites /const into *reciprocal
+    # (1 ulp off the eager/C++ result), so the fused TPU sampler selects
+    # these exact values instead of dividing at sample time.  Centering
+    # quirks preserved: WIDTH recenters the row pick, HEIGHT the column.
+    rel_local = (col_indices - (np.arange(h, dtype=np.int32) * w)[:, None])
+    dx_col = (
+        (rel_local - (h - 1) // 2).astype(np.float32)
+        / np.float32(w) * np.float32(2.0)
+    )
+    dy_srow = (
+        (row_indices - (w - 1) // 2).astype(np.float32)
+        * np.float32(-1.0) / np.float32(h) * np.float32(2.0)
+    )
+
     return BokehImage(
         cdf_row=jnp.asarray(cdf_row),
         row_indices=jnp.asarray(row_indices),
         cdf_col=jnp.asarray(cdf_col),
         col_indices=jnp.asarray(col_indices),
+        dx_col=jnp.asarray(dx_col),
+        dy_srow=jnp.asarray(dy_srow),
         width=int(w),
         height=int(h),
     )
@@ -113,9 +130,9 @@ def load(path: str) -> BokehImage:
 
 def _sample_chunk(
     cdf_row: Array,        # [h]   ascending CDF over sorted rows
-    row_indices: Array,    # [h]   sorted-row -> actual-row permutation
+    dy_srow: Array,        # [h]   precomputed dy per sorted row
     cdf_byr: Array,        # [h,w] column CDFs, PRE-PERMUTED to sorted-row order
-    relcol_byr: Array,     # [h,w] local sorted-col -> actual-col, permuted
+    dx_byr: Array,         # [h,w] precomputed dx per sorted col, permuted
     w: int,
     h: int,
     u_row: Array,
@@ -143,11 +160,13 @@ def _sample_chunk(
     r = jnp.minimum(r, h - 1)  # past-the-end clamp (zoic.cpp:435)
     oh_r = (jnp.arange(h, dtype=jnp.int32)[None, :] == r[:, None]).astype(f32)
     hi = jax.lax.Precision.HIGHEST
-    actual_row = jnp.einsum(
-        "bh,h->b", oh_r, row_indices.astype(f32), precision=hi
-    ).astype(jnp.int32)
+    # the [-1, 1] remaps (zoic.cpp:441-485) are PREcomputed at build time
+    # with host true f32 division (XLA rewrites /const to *reciprocal under
+    # jit, 1 ulp off the C++ result — see system.BokehImage), so selection
+    # directly yields the final values
+    dy = jnp.einsum("bh,h->b", oh_r, dy_srow, precision=hi)
     rowcdf = jnp.dot(oh_r, cdf_byr, precision=hi)          # [B, w]
-    ordrow = jnp.dot(oh_r, relcol_byr.astype(f32), precision=hi)  # [B, w]
+    dxrow = jnp.dot(oh_r, dx_byr, precision=hi)            # [B, w]
 
     c_local = jnp.sum(
         (rowcdf <= u_col[:, None]).astype(jnp.int32), axis=1
@@ -156,14 +175,7 @@ def _sample_chunk(
     oh_c = (
         jnp.arange(w, dtype=jnp.int32)[None, :] == c_local[:, None]
     ).astype(f32)
-    relative_col = jnp.sum(ordrow * oh_c, axis=1).astype(jnp.int32)
-
-    # centering quirks: WIDTH recenters the row, HEIGHT the column
-    # (zoic.cpp:441, 466)
-    recalc_row = actual_row - (w - 1) // 2
-    recalc_col = relative_col - (h - 1) // 2
-    dx = recalc_col.astype(f32) / w * 2.0
-    dy = recalc_row.astype(f32) * -1.0 / h * 2.0
+    dx = jnp.sum(dxrow * oh_c, axis=1)
     return dx, dy
 
 
@@ -174,27 +186,35 @@ def sample(
     pairs to [-1, 1]^2 aperture offsets distributed per the image.
 
     Indices stay exact through the f32 matmuls for images up to 2^24
-    pixels per side product (any practical bokeh texture)."""
+    pixels per side product (any practical bokeh texture).
+
+    On a TPU backend, aperture-texture-sized images (h, w <= 128) dispatch
+    to the fused Pallas kernel (ops/bokeh_kernel.py) — bit-identical
+    output, ~10x throughput (the XLA formulation round-trips its [B, w]
+    selection intermediates through HBM)."""
     w, h = image.width, image.height
     b = u_row.shape[0]
+
+    if u_row.ndim == 1 and jax.default_backend() == "tpu":
+        from .ops import bokeh_kernel
+
+        if bokeh_kernel.supports(image):
+            return bokeh_kernel.sample_fused(image, u_row, u_col)
 
     # pre-permute the per-row tables into sorted-row order once (tiny) so a
     # single one-hot over the SORTED row index selects everything
     cdf_byr = jnp.take(image.cdf_col, image.row_indices, axis=0)
-    rel = image.col_indices - (
-        jnp.arange(h, dtype=jnp.int32) * w
-    )[:, None]
-    relcol_byr = jnp.take(rel, image.row_indices, axis=0)
+    dx_byr = jnp.take(image.dx_col, image.row_indices, axis=0)
 
     # chunk so the [chunk, max(h, w)] intermediates stay bounded: each such
     # plane is 2^25 f32 = 128MB and _sample_chunk keeps a few live at once
-    # (one-hot, rowcdf, ordrow), so peak is some hundreds of MB — fine for
+    # (one-hot, rowcdf, dxrow), so peak is some hundreds of MB — fine for
     # a 16GB-HBM chip; bigger chunks amortize the sequential lax.map
     # dispatches
     chunk = max(1024, (1 << 25) // max(h, w))
     if b <= chunk:
         return _sample_chunk(
-            image.cdf_row, image.row_indices, cdf_byr, relcol_byr,
+            image.cdf_row, image.dy_srow, cdf_byr, dx_byr,
             w, h, u_row, u_col,
         )
     n_pad = -b % chunk
@@ -202,7 +222,7 @@ def sample(
     uc = jnp.pad(u_col, (0, n_pad)).reshape(-1, chunk)
     dx, dy = jax.lax.map(
         lambda uu: _sample_chunk(
-            image.cdf_row, image.row_indices, cdf_byr, relcol_byr,
+            image.cdf_row, image.dy_srow, cdf_byr, dx_byr,
             w, h, uu[0], uu[1],
         ),
         jnp.stack([ur, uc], axis=1),

@@ -25,7 +25,7 @@ import numpy as np
 from ..config import CameraConfig
 from ..system import BokehImage, CameraState, LensSystem, PupilLUT, PupilProfile
 
-FORMAT_VERSION = 3  # v3: PupilProfile gained the cos(4 phi) coefficient
+FORMAT_VERSION = 4  # v4: BokehImage carries precomputed dx/dy remap tables
 
 
 def _flatten(state: CameraState):
@@ -101,7 +101,7 @@ def _skeleton(static: dict) -> CameraState:
     )
     bokeh = (
         BokehImage(
-            z, zi, z, zi,
+            z, zi, z, zi, z, z,
             width=static["bokeh_wh"][0], height=static["bokeh_wh"][1],
         )
         if static["has_bokeh"]
