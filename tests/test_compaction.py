@@ -225,3 +225,59 @@ def test_thinlens_compact_matches_whole_tile(ovr):
     np.testing.assert_array_equal(tF, tT)
     np.testing.assert_allclose(oF, oT, atol=3e-6)
     np.testing.assert_allclose(dF, dT, atol=3e-6)
+
+
+def test_presampled_profile_matches_no_precheck():
+    """Image-bokeh pre-check (r4): with a SOUND square-domain bound, the
+    pre-check must not change any first-attempt outcome (a bound-failing
+    first sample fails the trace too), and retry statistics stay
+    equivalent — draw SEQUENCES diverge (pre-checked rounds consume K
+    plane indices per round vs 1), so retried rays are compared
+    statistically, like the presampled compact-vs-whole-tile A/B."""
+    import dataclasses
+
+    yy, xx = np.mgrid[-1:1:24j, -1:1:24j]
+    img = ((xx**2 + yy**2) < 0.8).astype(np.float32) + 0.01
+    np.save("/tmp/zoic_test_bokeh_prof.npy", np.stack([img] * 3, -1))
+
+    cfg = zt.CameraConfig(
+        lens_model=zt.LensModel.RAYTRACED,
+        lens_data_path=zt.data.lens_path("double_gauss_f2.0"),
+        focal_length=5.0, fstop=2.0, focal_distance=100.0,
+        kolb_sampling_lut=True, lut_bounds_samples=5_000,
+        use_image=True, bokeh_path="/tmp/zoic_test_bokeh_prof.npy",
+        pupil_precheck=True, max_tries=6,
+    )
+    state = zt.compile_camera(cfg)
+    assert state.lens.profile_domain == "square"
+    n = 16 * 128 + 50
+    rng = np.random.default_rng(11)
+    sx = jnp.asarray(rng.uniform(-1, 1, n).astype(np.float32))
+    sy = jnp.asarray(rng.uniform(-1, 1, n).astype(np.float32))
+    u1 = jnp.asarray(rng.uniform(0, 1, n).astype(np.float32))
+    u2 = jnp.asarray(rng.uniform(0, 1, n).astype(np.float32))
+    key = jax.random.PRNGKey(21)
+
+    import zoic_tpu.camera as cam
+
+    rays_p, stats_p = cam.create_rays(state, cfg, sx, sy, u1, u2, key)
+    cfg_n = dataclasses.replace(cfg, pupil_precheck=False)
+    rays_n, stats_n = cam.create_rays(state, cfg_n, sx, sy, u1, u2, key)
+
+    wp = np.asarray(rays_p.weight)
+    wn = np.asarray(rays_n.weight)
+    dp = np.asarray(rays_p.dir)
+    dn = np.asarray(rays_n.dir)
+    # first-attempt outcomes are bitwise-shared: rays BOTH paths accepted
+    # first-try saw the identical caller sample
+    # (weight>0 and equal dirs); soundness makes the accept sets' first
+    # attempts agree
+    both_first = (wp > 0) & (wn > 0) & np.all(dp == dn, axis=-1)
+    assert both_first.mean() > 0.5
+    # equivalent retry statistics
+    vp = int(np.asarray(stats_p.vignetted))
+    vn = int(np.asarray(stats_n.vignetted))
+    assert abs(vp - vn) < max(30, 0.15 * (vp + vn + 20))
+    assert np.isfinite(dp).all()
+    norm = np.linalg.norm(dp[wp > 0], axis=-1)
+    np.testing.assert_allclose(norm, 1.0, atol=1e-4)

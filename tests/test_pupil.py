@@ -192,3 +192,52 @@ def test_profile_precheck_soundness_naive_offaxis(lens):
     assert unsound <= budget, (
         f"{unsound} accepted samples outside the naive bound"
     )
+
+
+def test_profile_precheck_soundness_square_domain():
+    """SQUARE-domain profile soundness (image-bokeh pre-check, r4):
+    ``bokehSample`` emits offsets anywhere in [-1,1]^2 (zoic.cpp:441-485),
+    including corners the disk fit never observes — the presampled
+    kernel's pre-check therefore uses ``build_profile(domain="square")``
+    and must never reject a square offset the trace would accept."""
+    import zoic_tpu.trace as trace
+    from zoic_tpu.optics import V3
+
+    cfg = zt.CameraConfig(
+        lens_model=zt.LensModel.RAYTRACED,
+        lens_data_path=zt.data.lens_path("double_gauss_f2.0"),
+        focal_length=5.0, fstop=2.0, focal_distance=100.0,
+        lut_bounds_samples=20_000,
+    )
+    lens_p = zt.compile_camera(cfg).lens
+    prof, _ = pupil.build_profile(
+        lens_p, jax.random.PRNGKey(5), domain="square"
+    )
+
+    n = 20_000
+    for i, r in enumerate([0.0, 0.9, 1.8]):
+        u = jax.random.uniform(jax.random.PRNGKey(300 + i), (2, n))
+        # uniform square offsets — the superset of any bokeh image's draws
+        lx = u[0] * 2.0 - 1.0
+        ly = u[1] * 2.0 - 1.0
+        fx = jnp.full((n,), r)
+        fy = jnp.zeros((n,))
+        px, py = pupil.shape_sample(lens_p.lut, lx, ly, fx, fy)
+        oz = jnp.zeros((n,)) + lens_p.origin_shift
+        ok = np.asarray(
+            trace.trace_stack(
+                lens_p, V3(fx, fy, oz),
+                V3(px - fx, py - fy, jnp.zeros((n,)) - lens_p.thickness[0]),
+            ).ok
+        )
+        c0, c1, c2, c4 = pupil.profile_lookup(prof, jnp.float32(r))
+        rho = np.hypot(np.asarray(lx), np.asarray(ly))
+        cphi = np.where(rho > 0, np.asarray(lx) / np.maximum(rho, 1e-9), 1.0)
+        t2 = 2 * cphi**2 - 1
+        bound = (float(c0) + float(c1) * cphi + float(c2) * t2
+                 + float(c4) * (2 * t2**2 - 1))
+        unsound = int((ok & (rho > bound)).sum())
+        budget = max(2, int(0.0005 * ok.sum()))  # cover-tail class
+        assert unsound <= budget, (
+            f"square domain r={r}: {unsound} accepted outside bound"
+        )

@@ -69,6 +69,10 @@ VARIANTS = {
     # name: (max_tries, compact, use_lut, use_profile)
     "floor": (0, False, True, False),
     "floor-naive": (0, False, False, False),
+    # floor + profile planes + the round-0 pre-check chain: the marginal
+    # vs "floor" is the per-ray cost of the profile select chain + one
+    # k-draw pre-check scan (isolates the shaping-table lever, VERDICT r3 #6)
+    "floor-prof": (0, False, True, True),
     "uncompacted": (25, False, True, False),
     "compacted": (25, True, True, False),
     "precheck": (25, True, True, True),

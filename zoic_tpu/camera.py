@@ -95,14 +95,21 @@ def compile_camera(
             import jax as _jax
 
             prof_key = _jax.random.PRNGKey(1) if lut_key is None else _jax.random.fold_in(lut_key, 1)
-            profile, key_acc = pupil.build_profile(lens, prof_key)
+            # image-bokeh candidates are square offsets (bokehSample,
+            # zoic.cpp:441-485): the pre-check bound must be fitted and
+            # validated over all of [-1,1]^2, not just the unit disk
+            prof_domain = "square" if config.use_image else "disk"
+            profile, key_acc = pupil.build_profile(
+                lens, prof_key, domain=prof_domain
+            )
             # dead-film fraction drives the retry machine's compaction
             # regime (quantized to 1 decimal so same-shape lenses share
             # jit cache entries; see LensSystem.dead_frac)
             r_max = config.sensor_width * 0.5 * math.sqrt(2.0)
             dead = pupil.dead_film_fraction(profile.keys, key_acc, r_max)
             lens = dataclasses.replace(
-                lens, profile=profile, dead_frac=round(dead, 1)
+                lens, profile=profile, dead_frac=round(dead, 1),
+                profile_domain=prof_domain,
             )
 
     f32 = jnp.float32

@@ -25,7 +25,7 @@ import numpy as np
 from ..config import CameraConfig
 from ..system import BokehImage, CameraState, LensSystem, PupilLUT, PupilProfile
 
-FORMAT_VERSION = 4  # v4: BokehImage carries precomputed dx/dy remap tables
+FORMAT_VERSION = 5  # v5: LensSystem carries profile_domain (square-fit bokeh pre-check)
 
 
 def _flatten(state: CameraState):
@@ -47,6 +47,9 @@ def _flatten(state: CameraState):
         ),
         "elem_flags": (
             list(state.lens.elem_flags) if state.lens is not None else []
+        ),
+        "profile_domain": (
+            state.lens.profile_domain if state.lens is not None else "disk"
         ),
         "bokeh_wh": (
             [state.bokeh.width, state.bokeh.height]
@@ -95,6 +98,7 @@ def _skeleton(static: dict) -> CameraState:
             iris_identity=static.get("iris_identity", False),
             dead_frac=static.get("dead_frac", 0.0),
             elem_flags=tuple(static.get("elem_flags", ())),
+            profile_domain=static.get("profile_domain", "disk"),
         )
         if static["has_lens"]
         else None

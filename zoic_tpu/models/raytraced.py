@@ -209,11 +209,17 @@ def _create_rays_pallas(
             # (1+P)*B to (1+P/4)*B draws (the CDF inversion was ~70% of
             # the raytraced-bokeh generation cost, PERF_NOTES r3)
             bp = min(b, max(1 << 16, b // 4))
-            u = jax.random.uniform(
-                jax.random.fold_in(key, 1), (2, n_planes * bp),
-                dtype=jnp.float32,
-            )
-            retry_u1, retry_u2 = bokeh_mod.sample(state.bokeh, u[0], u[1])
+            # plane uniforms come from the kernel's counter-hash, not
+            # threefry: these are INTERNAL retry draws (the reference's
+            # in-loop xor128 redraws, zoic.cpp:1932), and jax.random's
+            # threefry costs ~5.6 ms per (2, 4M) on-chip — ~25% of the
+            # whole bokeh generation (PERF_NOTES r4)
+            ids = jnp.arange(n_planes * bp, dtype=jnp.int32)
+            pseed = seed + jnp.int32(0x5BD1)
+            zero = jnp.int32(0)
+            pu1 = trace_kernel._hash_uniform(ids, pseed, zero, 0x33333333)
+            pu2 = trace_kernel._hash_uniform(ids, pseed, zero, 0x44444444)
+            retry_u1, retry_u2 = bokeh_mod.sample(state.bokeh, pu1, pu2)
             retry_u1 = retry_u1.reshape(n_planes, bp)
             retry_u2 = retry_u2.reshape(n_planes, bp)
 
@@ -223,9 +229,12 @@ def _create_rays_pallas(
         max_tries=config.max_tries,
         use_lut=bool(config.kolb_sampling_lut),
         use_profile=bool(
-            not presampled
-            and config.pupil_precheck
+            config.pupil_precheck
             and lens.profile is not None
+            # presampled (bokeh) candidates are square offsets: the
+            # pre-check is sound only under a square-domain-fitted bound
+            # (compile_camera fits "square" when use_image)
+            and (not presampled or lens.profile_domain == "square")
         ),
         interpret=jax.default_backend() == "cpu",
         presampled=presampled,

@@ -429,6 +429,44 @@ def _prep_retry_planes(retry_u1, retry_u2, tile_rows):
     return planes, target // tile_area
 
 
+def _plane_draws(bu1_ref, bu2_ref, h, base, count, plane_tiles):
+    """Materialize ``count`` streamed retry-draw plane pairs on rows
+    [0, h), for global draw indices ``base .. base+count-1``.
+
+    Draw index ``idx`` reads plane ``idx % P`` under a distinct (row,
+    lane) rotation per reuse cycle ``idx // P`` (rotation schedule shared
+    with the uncompacted loop); ``plane_tiles`` adds the cross-tile
+    reuse-index rotation (ADVICE r3) when grid tiles share plane blocks.
+    Each (plane, rotation) pair is unique per draw index and positions
+    within a round are distinct, so every plane cell is consumed by at
+    most one ray per draw index — draws stay iid bokeh samples under
+    position-based assignment (PARITY.md)."""
+    outs = []
+    n_p = bu1_ref.shape[0]
+    for j in range(count):
+        idx = base + j
+        cyc = idx // n_p
+        pidx = idx - cyc * n_p
+        u1 = bu1_ref[pl.ds(pidx, 1), 0:h, :].reshape(h, LANES)
+        u2 = bu2_ref[pl.ds(pidx, 1), 0:h, :].reshape(h, LANES)
+        sh = (3 * cyc) % h
+        lsh = (7 * (cyc // 8)) % LANES
+        u1 = _roll_rows_dyn(u1, sh, max_shift=h)
+        u2 = _roll_rows_dyn(u2, sh, max_shift=h)
+        u1 = _roll_lanes_dyn(u1, lsh)
+        u2 = _roll_lanes_dyn(u2, lsh)
+        if plane_tiles:
+            t_reuse = pl.program_id(0) // plane_tiles
+            tsh = (t_reuse * 5) % h
+            tlsh = (t_reuse * 21) % LANES
+            u1 = _roll_rows_dyn(u1, tsh, max_shift=h)
+            u2 = _roll_rows_dyn(u2, tsh, max_shift=h)
+            u1 = _roll_lanes_dyn(u1, tlsh)
+            u2 = _roll_lanes_dyn(u2, tlsh)
+        outs.append((u1, u2))
+    return outs
+
+
 def _compaction_schedule(rows: int, max_total: int,
                          dead_heavy: bool = False,
                          draws_per_round: int = 1,
@@ -614,6 +652,7 @@ def _round_core(
     attempt, seed, max_total, use_profile,
     ids, pcs, ox, oy, oz, dx, dy, dz, ok_i, tries, tir_count,
     draws=None, k_draws=PRECHECK_DRAWS, first_draws=None, dual=False,
+    offset_draws=None,
 ):
     """One batched retry round (the body of zoic.cpp's resample loop,
     1879-1947) on arrays of any (h, 128) shape.
@@ -622,12 +661,14 @@ def _round_core(
     every ray consumes its own uniform stream in try order, so results are
     bit-identical under any retry scheduling (whole-tile loops, compacted
     regions) — the batched analog of the reference's sequential per-ray
-    draw order.  ``draws`` (presampled-bokeh mode) overrides the hash draws
-    with externally-sampled aperture offsets for THIS round: per-ROUND
-    planes in the uncompacted loop, per-lane try-indexed plane selections
-    in the compacted machine (see the presampled branch of
-    ``region_round``); incompatible with ``use_profile`` (the pre-check
-    assumes concentric-disk candidates)."""
+    draw order.  ``draws`` (presampled-bokeh mode, no pre-check)
+    overrides the hash draws with ONE externally-sampled aperture-offset
+    plane pair for this round.  ``offset_draws`` (presampled +
+    pre-check) is a LIST of ``k_draws`` offset plane pairs: the profile
+    scan consumes them in order, testing each against the polar bound
+    DIRECTLY — no concentric warp; bokeh offsets live in [-1,1]^2,
+    which is why the profile must be square-domain-fitted
+    (pupil.build_profile(domain="square"))."""
     pending = (ok_i == 0) & (tries < max_total)
     if not use_profile:
         if draws is not None:
@@ -666,12 +707,21 @@ def _round_core(
                 # draw j of this round is the ray's retry
                 # #(tries + j - first_free): all previous draws this
                 # round were consumed while found == 0
-                ctr = tries + (j - 1 if first_draws is not None else j)
-                u1 = _hash_uniform(ids, seed, ctr, 0x11111111)
-                u2 = _hash_uniform(ids, seed, ctr, 0x22222222)
+                if offset_draws is not None:
+                    u1, u2 = offset_draws[
+                        j - 1 if first_draws is not None else j
+                    ]
+                else:
+                    ctr = tries + (j - 1 if first_draws is not None else j)
+                    u1 = _hash_uniform(ids, seed, ctr, 0x11111111)
+                    u2 = _hash_uniform(ids, seed, ctr, 0x22222222)
                 can = pending & (found == 0) & (tries + consumed < max_total)
                 consumed = consumed + can.astype(jnp.int32)
-            lx, ly = _concentric(u1, u2)
+            if offset_draws is not None:
+                # presampled candidates ARE offsets (bokeh CDF output)
+                lx, ly = u1, u2
+            else:
+                lx, ly = _concentric(u1, u2)
             rho2 = lx * lx + ly * ly
             # one shared rsqrt gives both rho and cphi = lx/rho (the
             # div form costs 1.8 cycles vs 1 for the mul; roofline r3)
@@ -690,6 +740,9 @@ def _round_core(
         nox, noy, noz, ndx, ndy, ndz, nok, ntir = attempt(cand1, cand2)
         merge = pending & (found == 1)
         nok = nok & (found == 1)
+        assert not (dual and offset_draws is not None), (
+            "dual-trace scans hash draws; presampled rounds gate it off"
+        )
         if dual:
             # Speculative second candidate (mop-up eras, PERF_NOTES r3):
             # keep scanning for the NEXT bound-passing draw and trace it
@@ -864,7 +917,11 @@ def _raytraced_kernel(
     (out_ox, out_oy, out_oz, out_dx, out_dy, out_dz, out_packed), refs = (
         refs[:7], refs[7:],
     )
-    st_f, st_i = refs if compact else (None, None)
+    if compact:
+        (st_f, st_i), refs = refs[:2], refs[2:]
+    else:
+        st_f = st_i = None
+    ctr_ref = refs[0] if (compact and presampled) else None
     seed = scal_ref[2].astype(jnp.int32)
     origin_shift = scal_ref[0]
     dz0 = scal_ref[1]
@@ -928,25 +985,35 @@ def _raytraced_kernel(
 
     # pad lanes (beyond the true batch) never enter the retry rounds
     tries = jnp.where(ids < batch_size, 0, max_total + 1)
+    # round-0 scan depth is separately sweepable: the full-width chain is
+    # throughput-bound, where deeper pre-check scans are cheap relative
+    # to what they keep out of the era machine (cf. the dead-heavy K=13
+    # lesson, PERF_NOTES)
+    r0_draws = sched_knobs[7] or sched_knobs[2]
     if use_profile:
         # Round 0 IS a pre-checked round (r3): draw 0 is the caller's
-        # uniforms (the reference's first sample, zoic.cpp:1870), and a
+        # sample (the reference's first sample, zoic.cpp:1870), and a
         # first sample the profile provably rejects consumes tries
         # without tracing, exactly like the retry rounds — run at full
         # tile width where the draw chain is throughput-bound.  This
         # cuts the pending fraction entering the era machine (~46% ->
         # ~25% on the double-gauss) at the cost of one pre-check chain.
+        # Presampled (bokeh) mode feeds the scan from the streamed offset
+        # planes (draw indices 0..r0_draws-1) under the square-domain
+        # profile.
         z = jnp.zeros_like(fx)
         zi = jnp.zeros_like(tries)
         (ox, oy, oz, dx, dy, dz, ok_i, tries, tir_count) = _round_core(
             attempt, seed, max_total, True,
             ids, pcs, z, z, z, z, z, z, zi, tries, zi,
-            # round-0 scan depth is separately sweepable: the full-width
-            # chain is throughput-bound, where deeper pre-check scans
-            # are cheap relative to what they keep out of the era
-            # machine (cf. the dead-heavy K=13 lesson, PERF_NOTES)
-            k_draws=sched_knobs[7] or sched_knobs[2],
+            k_draws=r0_draws,
             first_draws=(u1_ref[:], u2_ref[:]),
+            offset_draws=(
+                _plane_draws(
+                    bu1_ref, bu2_ref, rows, 0, r0_draws, plane_tiles
+                )
+                if presampled else None
+            ),
         )
     else:
         # attempt #0 from the caller's uniforms; consumes no retry
@@ -974,37 +1041,30 @@ def _raytraced_kernel(
         def body(carry):
             rnd, ox, oy, oz, dx, dy, dz, ok_i, tries, tir_count = carry
             draws = None
+            offset_draws = None
             if presampled:
-                # retry draw for round r comes from streamed plane
-                # (r-1) % P; reuse cycles read the plane row-rotated by a
-                # distinct shift, so every ray's draw SEQUENCE is distinct
-                # iid bokeh samples (cross-ray sharing only; PARITY.md).
-                # Tiles sharing a plane block (grid > plane_tiles) fold
-                # their reuse index into the rotation so no two tiles read
-                # a block identically (ADVICE r3: without this, rays
-                # exactly plane_tiles*tile_area apart consumed
-                # byte-identical retry sequences — a fixed-pixel-stride
-                # bokeh aliasing risk in a real render).
-                p = bu1_ref.shape[0]
-                cyc = (rnd - 1) // p
-                pidx = (rnd - 1) - cyc * p
+                # retry draws come from streamed planes under per-cycle
+                # rotations (_plane_draws): every round's draw indices are
+                # unique, so every ray's draw SEQUENCE is distinct iid
+                # bokeh samples (cross-ray sharing only; PARITY.md).
                 rows_ = sx_ref.shape[0]
-                u1p = bu1_ref[pl.ds(pidx, 1), :, :].reshape(rows_, LANES)
-                u2p = bu2_ref[pl.ds(pidx, 1), :, :].reshape(rows_, LANES)
-                shift = cyc * 3
-                if plane_tiles:
-                    t_reuse = pl.program_id(0) // plane_tiles
-                    shift = shift + t_reuse * 5
-                    lsh = t_reuse * 21
-                    u1p = _roll_lanes_dyn(u1p, lsh)
-                    u2p = _roll_lanes_dyn(u2p, lsh)
-                u1p = _roll_rows_dyn(u1p, shift)
-                u2p = _roll_rows_dyn(u2p, shift)
-                draws = (u1p, u2p)
+                if use_profile:
+                    # pre-checked round: k_draws planes, draw indices
+                    # r0k + (rnd-1)*K .. (round 0 consumed the first r0k)
+                    k = sched_knobs[2]
+                    base = r0_draws + (rnd - 1) * k
+                    offset_draws = _plane_draws(
+                        bu1_ref, bu2_ref, rows_, base, k, plane_tiles
+                    )
+                else:
+                    (draws,) = _plane_draws(
+                        bu1_ref, bu2_ref, rows_, rnd - 1, 1, plane_tiles
+                    )
             out = _round_core(
                 attempt, seed, max_total, use_profile,
                 ids, pcs, ox, oy, oz, dx, dy, dz, ok_i, tries, tir_count,
                 draws=draws, k_draws=sched_knobs[2],
+                offset_draws=offset_draws,
             )
             return (rnd + 1,) + out
 
@@ -1034,6 +1094,11 @@ def _raytraced_kernel(
         home_row = jax.lax.broadcasted_iota(jnp.int32, fx.shape, 0)
         st_i[0, :, :] = _pk_make(ok_i, tries, tir_count, home_row)
         row_base = pl.program_id(0) * rows
+        if presampled:
+            # SMEM scratch persists across grid steps: reset the draw
+            # counter for THIS tile (round 0's pre-check scan consumed
+            # the first r0_draws plane indices in profile mode)
+            ctr_ref[0] = r0_draws if use_profile else 0
 
         def region_round(h, era_k=None):
             """One retry round on rows [0, h) of the scratch state.
@@ -1061,56 +1126,30 @@ def _raytraced_kernel(
             r_lane = jax.lax.broadcasted_iota(jnp.int32, (h, LANES), 1)
             r_ids = (row_base + r_row) * LANES + r_lane
             draws = None
+            offset_draws = None
+            k_round = era_k if era_k else sched_knobs[2]
             if presampled:
-                # per-lane draw for try t: streamed plane t % P, rotated by
-                # a distinct (row, lane) shift per reuse cycle t // P, read
-                # at the ray's CURRENT region position.  The lane shift
-                # kicks in once the row shift's period h is exhausted
-                # (h can be 8 in the final era while n_cyc reaches 16), so
-                # every cycle's rotation is distinct within the try budget
-                # and a stuck ray can never re-read the draw it already
-                # failed (ADVICE r2).  Each (plane, shift, position) cell is
-                # consumed by at most one ray per try index, so draws stay
-                # iid bokeh samples; the assignment is position-based rather
-                # than identity-based (PARITY.md).
-                n_p = bu1_ref.shape[0]
-                n_cyc = (max_total - 1) // n_p + 1
-                pidx = jnp.where(r_tries < max_total, r_tries, 0)
-                cyc = pidx // n_p
-                pidx = pidx - cyc * n_p
-                u1 = jnp.zeros((h, LANES), jnp.float32)
-                u2 = jnp.zeros((h, LANES), jnp.float32)
-                for pp in range(n_p):
-                    b1 = bu1_ref[pp, 0:h, :]
-                    b2 = bu2_ref[pp, 0:h, :]
-                    for cc in range(n_cyc):
-                        sh = (3 * cc) % h
-                        lsh = (7 * (cc // 8)) % LANES
-                        v1, v2 = b1, b2
-                        if sh:
-                            v1 = pltpu.roll(v1, sh, axis=0)
-                            v2 = pltpu.roll(v2, sh, axis=0)
-                        if lsh:
-                            v1 = pltpu.roll(v1, lsh, axis=1)
-                            v2 = pltpu.roll(v2, lsh, axis=1)
-                        m = (pidx == pp) & (cyc == cc)
-                        u1 = jnp.where(m, v1, u1)
-                        u2 = jnp.where(m, v2, u2)
-                if plane_tiles:
-                    # decorrelate cross-tile plane-block sharing (ADVICE
-                    # r3): one uniform extra (row, lane) rotation per
-                    # tile-reuse index.  A tile-constant rotation is a
-                    # bijection of region positions, so the per-try
-                    # injectivity of (plane, shift, position) cells within
-                    # a tile is preserved; tiles sharing a block now read
-                    # it under distinct rotations.
-                    t_reuse = pl.program_id(0) // plane_tiles
-                    u1 = _roll_rows_dyn(u1, t_reuse * 5)
-                    u2 = _roll_rows_dyn(u2, t_reuse * 5)
-                    lsh = t_reuse * 21
-                    u1 = _roll_lanes_dyn(u1, lsh)
-                    u2 = _roll_lanes_dyn(u2, lsh)
-                draws = (u1, u2)
+                # Draw-counter-indexed draws (r4): the round reads
+                # streamed planes at draw indices ``ctr .. ctr+k-1``
+                # (plane ``idx % P`` under a per-cycle rotation,
+                # _plane_draws), where ``ctr`` is a per-tile SCALAR
+                # counter — one dynamic slice + log2 roll stages per
+                # draw, instead of the per-ray try-indexed P x C
+                # rotated-variant select loop (~170 vector ops/round;
+                # measured ~45 of the bokeh config's 72 ms/generation,
+                # PERF_NOTES r4).  Position-based assignment, same
+                # PARITY.md class as before.
+                r_ctr = ctr_ref[0]
+                if use_profile:
+                    offset_draws = _plane_draws(
+                        bu1_ref, bu2_ref, h, r_ctr, k_round, plane_tiles
+                    )
+                    ctr_ref[0] = r_ctr + k_round
+                else:
+                    (draws,) = _plane_draws(
+                        bu1_ref, bu2_ref, h, r_ctr, 1, plane_tiles
+                    )
+                    ctr_ref[0] = r_ctr + 1
             out = _round_core(
                 att, seed, max_total, use_profile,
                 r_ids, r_pcs,
@@ -1119,12 +1158,14 @@ def _raytraced_kernel(
                 st_f[pf["dy"], 0:h, :], st_f[pf["dz"], 0:h, :],
                 r_ok, r_tries, r_tir,
                 draws=draws,
-                k_draws=era_k if era_k else sched_knobs[2],
+                k_draws=k_round,
+                offset_draws=offset_draws,
                 # dual-trace the latency-bound mop-up regions only:
                 # regions at or below ``dual_h`` rows run on ~one vreg,
                 # where the second independent trace chain is nearly
-                # free (PERF_NOTES r3)
-                dual=(use_profile and draws is None
+                # free (PERF_NOTES r3).  Presampled rounds gate it off
+                # (the speculative scan consumes hash draws).
+                dual=(use_profile and not presampled
                       and h <= sched_knobs[6]),
             )
             nox, noy, noz, ndx, ndy, ndz, nok, ntries, ntir = out
@@ -1638,19 +1679,19 @@ def raytraced_fused(
     blocks modulo the plane's tile count, ``_prep_retry_planes``) hold
     streamed retry-draw planes.  The
     pupil precheck is disabled (it assumes concentric-disk candidates), but
-    compaction stays on: the compacted machine selects each pending ray's
-    draw by its own try counter — plane ``t % P`` under a distinct
-    (row, lane) rotation per reuse cycle ``t // P`` — read at the ray's
-    current region position, so draws remain iid bokeh samples under
-    position-based assignment (PARITY.md).  The uncompacted loop instead
-    reads plane ``(round-1) % P`` row-rotated per cycle, round-
-    synchronously.
+    compaction stays on: each compacted retry round reads plane
+    ``ctr % P`` under a distinct (row, lane) rotation per reuse cycle
+    ``ctr // P``, where ``ctr`` is a per-tile scalar round counter — every
+    round has a unique (plane, rotation) pair and region positions are
+    distinct, so draws remain iid bokeh samples under position-based
+    assignment (PARITY.md).  The uncompacted loop reads plane
+    ``(round-1) % P`` the same way, round-synchronously.
     """
     b = sx.shape[0]
     max_total = max_tries + 1
-    assert not (presampled and use_profile), (
-        "profile precheck assumes concentric-disk candidates"
-    )
+    # presampled + use_profile is the image-bokeh pre-check: candidates
+    # are square offsets, so the caller must supply a square-domain-fitted
+    # profile (models/raytraced.py gates on lens.profile_domain)
     # the compacted machine packs ok/tries/tir/home-row into one i32 plane
     # (6-bit try fields -> max_total+1 < 64; row field sized for <=256
     # rows), and the bitonic network needs power-of-2 rows.  Presampled
@@ -1754,6 +1795,9 @@ def raytraced_fused(
         if compact
         else []
     )
+    if compact and presampled:
+        # per-tile scalar round counter for the streamed retry planes
+        scratch_shapes.append(pltpu.SMEM((1,), jnp.int32))
     outs = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(

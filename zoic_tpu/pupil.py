@@ -171,18 +171,19 @@ def shape_sample(
     return lx * c - ly * s, lx * s + ly * c
 
 
-@functools.partial(jax.jit, static_argnames=("n_angles", "n_samples"))
+@functools.partial(jax.jit, static_argnames=("n_angles", "n_samples", "domain"))
 def build_profile(
     lens: LensSystem,
     key: Array,
     n_angles: int = 16,
     n_samples: int = 50_000,
+    domain: str = "disk",
 ) -> "PupilProfile":
     """Fit a conservative polar outer bound of the accepted-sample support
-    in unit-disk space, per LUT film-radius key.
+    in pre-shaping offset space, per LUT film-radius key.
 
     No reference equivalent: this is a TPU-native retry accelerator.  A
-    unit-disk candidate whose radius exceeds the bound at its azimuth
+    candidate offset whose radius exceeds the bound at its azimuth
     cannot survive the trace, so the fused kernel can consume such failed
     tries without tracing (ops/trace_kernel.py inner candidate loop).  The
     bound errs outward by construction (per-bin max + additive fit excess +
@@ -192,6 +193,16 @@ def build_profile(
 
     Uses the active sampling cover (LUT shaping when present, else naive
     first-element targeting) so the profile matches runtime candidates.
+
+    ``domain`` picks the candidate space the fit must cover:
+
+    * ``"disk"`` — unit-disk offsets, the concentric-map case
+      (zoic.cpp:1870 concentricDiskSample); radii <= 1.
+    * ``"square"`` — the full [-1, 1]^2 square, the image-bokeh case
+      (``bokehSample`` maps pixel picks anywhere in the square,
+      zoic.cpp:441-485); radii reach sqrt(2).  A disk-fitted bound is
+      UNSOUND for bokeh draws (corner offsets it never observed can
+      trace fine), so the presampled kernel path requires a square fit.
     """
     from .system import PupilProfile
 
@@ -204,11 +215,18 @@ def build_profile(
     )
 
     u = jax.random.uniform(key, (2, n_keys, n_samples), dtype=jnp.float32)
-    # uniform over the unit disk (support coverage, not importance)
-    rho = jnp.sqrt(u[0])
-    phi = (u[1] * 2.0 - 1.0) * jnp.pi
-    lx = rho * jnp.cos(phi)
-    ly = rho * jnp.sin(phi)
+    if domain == "square":
+        # uniform over the square: covers every offset bokehSample can emit
+        lx = u[0] * 2.0 - 1.0
+        ly = u[1] * 2.0 - 1.0
+        rho = jnp.sqrt(lx * lx + ly * ly)
+        phi = jnp.arctan2(ly, lx)
+    else:
+        # uniform over the unit disk (support coverage, not importance)
+        rho = jnp.sqrt(u[0])
+        phi = (u[1] * 2.0 - 1.0) * jnp.pi
+        lx = rho * jnp.cos(phi)
+        ly = rho * jnp.sin(phi)
 
     fx = jnp.broadcast_to(keys[:, None], lx.shape)
     fy = jnp.zeros_like(fx)
@@ -293,10 +311,16 @@ def build_profile(
     uh = jax.random.uniform(
         jax.random.fold_in(key, 1), (2, n_keys, n_samples), dtype=jnp.float32
     )
-    rho_h = jnp.sqrt(uh[0])
-    phi_h = (uh[1] * 2.0 - 1.0) * jnp.pi
-    lxh = rho_h * jnp.cos(phi_h)
-    lyh = rho_h * jnp.sin(phi_h)
+    if domain == "square":
+        lxh = uh[0] * 2.0 - 1.0
+        lyh = uh[1] * 2.0 - 1.0
+        rho_h = jnp.sqrt(lxh * lxh + lyh * lyh)
+        phi_h = jnp.arctan2(lyh, lxh)
+    else:
+        rho_h = jnp.sqrt(uh[0])
+        phi_h = (uh[1] * 2.0 - 1.0) * jnp.pi
+        lxh = rho_h * jnp.cos(phi_h)
+        lyh = rho_h * jnp.sin(phi_h)
     if lut is not None:
         pxh = lxh * ms + trn
         pyh = lyh * ms

@@ -128,6 +128,14 @@ class LensSystem:
     elem_flags: tuple = dataclasses.field(
         metadata=dict(static=True), default=()
     )
+    # Candidate domain the pupil profile's bound was fitted/validated on
+    # (pupil.build_profile ``domain``): "disk" covers concentric-map
+    # candidates only; "square" covers all of [-1,1]^2 and is REQUIRED
+    # for the image-bokeh pre-check (bokehSample emits square offsets —
+    # a disk-fitted bound is unsound at the corners).
+    profile_domain: str = dataclasses.field(
+        metadata=dict(static=True), default="disk"
+    )
 
     @property
     def count(self) -> int:
