@@ -205,3 +205,45 @@ def test_pallas_bokeh_image(samples, tmp_path, max_tries):
     assert np.allclose(
         d_j[both].mean(0), d_p[both].mean(0), atol=5e-3
     )
+
+
+def test_profile_poly_matches_chain(samples):
+    """Poly-bound pre-check vs the 32-key select chain: both bounds are
+    sound (poly dominates the chain — test_pupil), so a pre-check rejection
+    and a traced failure consume a try identically and every per-ray
+    accept/fail trajectory must be BIT-identical; only which failing draws
+    get TRACED differs.  Accepted payloads come from the same trace math on
+    the same accepted candidate; they are compared at 1e-5 rather than
+    bitwise because the two kernels are different compiled programs and
+    XLA's fusion/FMA-contraction choices around the shared ms/trn lerp
+    differ (measured: ~1.7% of rays move by ~1 ulp, <=1e-6, uniformly
+    across compact/dual knobs — compiler-level, not semantic)."""
+    import dataclasses
+    from zoic_tpu.ops import trace_kernel
+
+    sx, sy, u, v = samples
+    cfg = _cfg("pallas", max_tries=6)
+    state = zt.compile_camera(cfg)
+    lens = state.lens
+    assert lens.profile_poly, "headline lens should gate the poly on"
+    chain = dataclasses.replace(lens, profile_poly=False)
+
+    outs = [
+        trace_kernel.raytraced_fused(
+            lv, sx, sy, u, v, state.sensor_width, jnp.int32(3),
+            max_tries=6, interpret=True, compact=True, use_lut=True,
+            use_profile=True,
+        )
+        for lv in (lens, chain)
+    ]
+    (o1, d1, t1, r1), (o2, d2, t2, r2) = outs
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+    acc = np.asarray(t1) <= 6  # weight_and_stats: tries > max_tries vignettes
+    assert acc.mean() > 0.9
+    np.testing.assert_allclose(
+        np.asarray(o1)[acc], np.asarray(o2)[acc], atol=1e-5, rtol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(d1)[acc], np.asarray(d2)[acc], atol=1e-5, rtol=0
+    )

@@ -241,3 +241,56 @@ def test_profile_precheck_soundness_square_domain():
         assert unsound <= budget, (
             f"square domain r={r}: {unsound} accepted outside bound"
         )
+
+
+def test_profile_poly_dominates_chain():
+    """The polynomial bound form (r4, pupil.fit_profile_poly) must dominate
+    the per-key lerped bound for every film radius a real ray can have
+    (dist <= sensor_half*sqrt(2)) and every pupil azimuth: soundness of the
+    poly pre-check reduces to soundness of the chain it replaces (which the
+    MC soundness tests above hammer directly)."""
+    import math
+
+    cfg = zt.CameraConfig(
+        lens_model=zt.LensModel.RAYTRACED,
+        lens_data_path=zt.data.lens_path("double_gauss_f2.0"),
+        focal_length=5.0, fstop=2.0, focal_distance=100.0,
+        kolb_sampling_lut=True, lut_bounds_samples=20_000,
+    )
+    lens = zt.compile_camera(cfg).lens
+    # smooth profile (no dead film keys inside the corner): gate must be on
+    assert lens.profile_poly, "headline profile should pass the poly gate"
+
+    r_max = cfg.sensor_width * 0.5 * math.sqrt(2.0)
+    dist = jnp.linspace(0.0, r_max, 4097)
+    ch = pupil.profile_lookup(lens.profile, dist)
+    po = pupil.profile_poly_eval(lens.profile, dist)
+    phi = np.linspace(0.0, 2 * np.pi, 256, endpoint=False)
+    cphi = np.cos(phi)
+    t2 = 2 * cphi**2 - 1
+    basis = np.stack([np.ones_like(cphi), cphi, t2, 2 * t2**2 - 1])  # [4,P]
+    b_ch = np.stack([np.asarray(c) for c in ch]).T @ basis  # [N,P]
+    b_po = np.stack([np.asarray(c) for c in po]).T @ basis
+    # f32 Horner noise is covered by the fit's 1e-4 uplift pad
+    assert float((b_po - b_ch).min()) >= 0.0, (
+        f"poly bound under chain by {-float((b_po - b_ch).min()):.2e}"
+    )
+
+
+def test_profile_poly_gate_rejects_cliffs():
+    """Dead-film lenses (cliff-shaped profiles) must keep the exact select
+    chain: the poly fit cannot track the cliff without an uplift that
+    destroys the dead-key pre-rejection (fisheye dead_frac 0.7)."""
+    cfg = zt.CameraConfig(
+        lens_model=zt.LensModel.RAYTRACED,
+        lens_data_path=zt.data.lens_path("fisheye_muller_f4.0"),
+        focal_length=1.0, fstop=4.0, focal_distance=100.0,
+        lut_bounds_samples=20_000,
+    )
+    lens = zt.compile_camera(cfg).lens
+    assert lens.dead_frac >= 0.5
+    assert not lens.profile_poly
+    poly, deficit = pupil.fit_profile_poly(
+        lens.profile, r_max=cfg.sensor_width * 0.5 * 2**0.5
+    )
+    assert deficit > pupil.POLY_MAX_DEFICIT

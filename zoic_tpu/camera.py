@@ -107,9 +107,16 @@ def compile_camera(
             # jit cache entries; see LensSystem.dead_frac)
             r_max = config.sensor_width * 0.5 * math.sqrt(2.0)
             dead = pupil.dead_film_fraction(profile.keys, key_acc, r_max)
+            # polynomial bound form: fit the FINAL per-key bound; the
+            # kernel uses it only when the raw fit is tight (smooth
+            # profiles — cliff-shaped dead regions keep the exact chain,
+            # pupil.POLY_MAX_DEFICIT)
+            poly, deficit = pupil.fit_profile_poly(profile, r_max=r_max)
+            profile = dataclasses.replace(profile, poly=poly)
             lens = dataclasses.replace(
                 lens, profile=profile, dead_frac=round(dead, 1),
                 profile_domain=prof_domain,
+                profile_poly=bool(deficit < pupil.POLY_MAX_DEFICIT),
             )
 
     f32 = jnp.float32

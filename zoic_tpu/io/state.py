@@ -25,7 +25,7 @@ import numpy as np
 from ..config import CameraConfig
 from ..system import BokehImage, CameraState, LensSystem, PupilLUT, PupilProfile
 
-FORMAT_VERSION = 5  # v5: LensSystem carries profile_domain (square-fit bokeh pre-check)
+FORMAT_VERSION = 6  # v6: profile_domain + PupilProfile.poly (polynomial bound form)
 
 
 def _flatten(state: CameraState):
@@ -50,6 +50,9 @@ def _flatten(state: CameraState):
         ),
         "profile_domain": (
             state.lens.profile_domain if state.lens is not None else "disk"
+        ),
+        "profile_poly": (
+            state.lens.profile_poly if state.lens is not None else False
         ),
         "bokeh_wh": (
             [state.bokeh.width, state.bokeh.height]
@@ -89,7 +92,7 @@ def _skeleton(static: dict) -> CameraState:
         PupilLUT(z, z, z, z, z, z, z) if static["has_lut"] else None
     )
     profile = (
-        PupilProfile(z, z, z, z, z) if static.get("has_profile") else None
+        PupilProfile(z, z, z, z, z, z) if static.get("has_profile") else None
     )
     lens = (
         LensSystem(
@@ -99,6 +102,7 @@ def _skeleton(static: dict) -> CameraState:
             dead_frac=static.get("dead_frac", 0.0),
             elem_flags=tuple(static.get("elem_flags", ())),
             profile_domain=static.get("profile_domain", "disk"),
+            profile_poly=static.get("profile_poly", False),
         )
         if static["has_lens"]
         else None

@@ -358,13 +358,19 @@ def _atan2(y, x):
     return jnp.where(y < 0.0, -a, a)
 
 
-def _shaping_from_table(shap_ref, n_keys, spacing, fx, fy,
-                        use_lut, use_profile):
+def _shaping_from_table(shap_ref, prof_ref, n_keys, spacing, inv_dmax,
+                        fx, fy, use_lut, use_profile, use_poly):
     """In-kernel LUT/profile lookup: the uniform-key bracketing + lerp of
     pupil.lut_lookup / pupil.profile_lookup, with the per-lane table gather
     as an n_keys-step select chain over SMEM scalars.  Runs once per tile —
     streaming the 7 per-ray results from HBM costs more than recomputing
-    them (the kernel is grid-DMA-bound; see PERF_NOTES)."""
+    them (the kernel is grid-DMA-bound; see PERF_NOTES).
+
+    ``use_poly`` evaluates the profile coefficients from ``prof_ref``
+    (Horner in t = clamp(dist/dmax, 0, 1); pupil.fit_profile_poly) in
+    4*(D+1) fmas instead of adding 4 columns to the select chain — the
+    chain's profile share measured ~0.365 ms/M with the round-0 scan
+    (gapbench floor-prof, PERF_NOTES r4)."""
     dist = jnp.sqrt(fx * fx + fy * fy)
     # ceil(dist / spacing), NOT ceil(dist * (1/spacing)): the reciprocal-
     # multiply can round differently at key multiples and flip the bracket
@@ -379,7 +385,10 @@ def _shaping_from_table(shap_ref, n_keys, spacing, fx, fy,
     perc = jnp.where(denom != 0.0, (dist - lower) / denom, 0.0)
     perc = jnp.where(dist == 0.0, 0.0, perc)
 
-    cols = ([0, 1] if use_lut else []) + ([2, 3, 4, 5] if use_profile else [])
+    chain_profile = use_profile and not use_poly
+    cols = ([0, 1] if use_lut else []) + (
+        [2, 3, 4, 5] if chain_profile else []
+    )
     lb = [jnp.zeros_like(fx) for _ in cols]
     pr = [jnp.zeros_like(fx) for _ in cols]
     for k in range(n_keys):
@@ -399,8 +408,16 @@ def _shaping_from_table(shap_ref, n_keys, spacing, fx, fy,
         out["sn"] = _fast_sin(theta)
         out["cs"] = _fast_cos(theta)
         vals = vals[2:]
-    if use_profile:
+    if chain_profile:
         out["pc0"], out["pc1"], out["pc2"], out["pc4"] = vals
+    elif use_profile:
+        t = jnp.minimum(dist * inv_dmax, 1.0)
+        deg = prof_ref.shape[1] - 1
+        for j, name in enumerate(("pc0", "pc1", "pc2", "pc4")):
+            acc = jnp.zeros_like(t) + prof_ref[j, deg]
+            for k in range(deg - 1, -1, -1):
+                acc = acc * t + prof_ref[j, k]
+            out[name] = acc
     return out
 
 
@@ -883,6 +900,8 @@ def _raytraced_kernel(
     max_total: int,    # retry ceiling = max_tries + 1 (zoic.cpp:1767)
     use_lut: bool,     # exit-pupil LUT shaping (vs naive first-element)
     use_profile: bool,  # polar pupil pre-check (PupilProfile) available
+    use_poly: bool,    # profile bound from prof_ref Horner coefficients
+    #                    instead of the shap_ref select chain
     compact: bool,     # in-kernel straggler compaction (fold eras)
     presampled: bool,  # u refs are [-1,1] bokeh offsets; retry draws from
     #                    streamed planes (image-based bokeh mode)
@@ -901,17 +920,20 @@ def _raytraced_kernel(
     # ref layout (in order):
     #   elems_ref   SMEM (E, 8)
     #   scal_ref    SMEM (8,): origin_shift, dz0, seed, naive_scale,
-    #                          key_spacing, batch_size, sensor_half, _pad
-    #   shap_ref    SMEM (n_keys, 5): ms*1.05, centroid, c0, c1, c2
+    #                          key_spacing, batch_size, sensor_half,
+    #                          profile inv_dmax
+    #   shap_ref    SMEM (n_keys, 6): ms*1.05, centroid, c0, c1, c2, c4
+    #   prof_ref    SMEM (4, D+1): profile-poly Horner coefficients
     #   sx_ref, sy_ref, u1_ref, u2_ref          VMEM (rows, 128)
     #   [bu1_ref, bu2_ref]                      VMEM (P, rows, 128)
     #                                           — presampled only
     #   out_ox..out_dz, out_packed              VMEM (rows, 128)
     #   [st_f, st_i]                            VMEM scratch — compact only
 ):
-    (elems_ref, scal_ref, shap_ref, sx_ref, sy_ref, u1_ref, u2_ref), refs = (
-        refs[:7], refs[7:],
-    )
+    (
+        elems_ref, scal_ref, shap_ref, prof_ref,
+        sx_ref, sy_ref, u1_ref, u2_ref,
+    ), refs = (refs[:8], refs[8:])
     if presampled:
         (bu1_ref, bu2_ref), refs = refs[:2], refs[2:]
     (out_ox, out_oy, out_oz, out_dx, out_dy, out_dz, out_packed), refs = (
@@ -965,7 +987,8 @@ def _raytraced_kernel(
     fy = sy_ref[:] * sensor_half
     shaping = (
         _shaping_from_table(
-            shap_ref, n_keys, spacing, fx, fy, use_lut, use_profile
+            shap_ref, prof_ref, n_keys, spacing, scal_ref[7],
+            fx, fy, use_lut, use_profile, use_poly,
         )
         if (use_lut or use_profile)
         else {}
@@ -1733,6 +1756,18 @@ def raytraced_fused(
     elems = _pack_elements(lens)
     shap, spacing = _shaping_table(lens, use_lut, use_profile)
     n_keys = shap.shape[0]
+    use_poly = bool(use_profile and lens.profile_poly)
+    prof = (
+        lens.profile.poly
+        if (use_profile and lens.profile is not None
+            and lens.profile.poly is not None)
+        else jnp.zeros((4, 7), jnp.float32)
+    )
+    inv_dmax = (
+        1.0 / lens.profile.keys[-1]
+        if use_profile and lens.profile is not None
+        else jnp.float32(1.0)
+    )
     scal = jnp.stack(
         [
             lens.origin_shift,
@@ -1742,7 +1777,7 @@ def raytraced_fused(
             jnp.asarray(spacing, jnp.float32),
             jnp.float32(b),
             jnp.asarray(sensor_width, jnp.float32) * 0.5,
-            jnp.float32(0.0),
+            jnp.asarray(inv_dmax, jnp.float32),
         ]
     )
 
@@ -1779,7 +1814,7 @@ def raytraced_fused(
         precheck_draws = 13 if lens.dead_frac >= 0.6 else PRECHECK_DRAWS
     kernel = functools.partial(
         _raytraced_kernel, n_elems, n_keys, max_total, use_lut, use_profile,
-        compact, presampled, dead_heavy,
+        use_poly, compact, presampled, dead_heavy,
         (lens.aperture_element if lens.iris_identity else -1),
         lens.elem_flags if len(lens.elem_flags) == n_elems else (),
         (era3_h, era3_rounds, precheck_draws, era3_far_every, bulk_draws,
@@ -1801,7 +1836,7 @@ def raytraced_fused(
     outs = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=grid,
             in_specs=in_specs,
             out_specs=[blk] * 7,
@@ -1816,7 +1851,7 @@ def raytraced_fused(
         # TPU-semantics interpreter for CPU tests (plain interpret=True lacks
         # the TPU PRNG primitives)
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(elems, scal, shap, *ins)
+    )(elems, scal, shap, prof, *ins)
 
     def unprep(a):
         return a.reshape(-1)[:b]

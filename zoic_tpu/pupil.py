@@ -338,7 +338,13 @@ def build_profile(
     viol = jnp.max(jnp.where(ok_h, rho_h - bound_h, -jnp.inf), axis=1)  # [K]
     c0 = c0 + jnp.maximum(viol, 0.0)
     return (
-        PupilProfile(keys=keys, c0=c0, c1=c1, c2=c2, c4=c4),
+        # poly starts as a zero placeholder (stable pytree shape);
+        # compile_camera fits it from the FINAL per-key bound
+        # (fit_profile_poly) and decides the kernel form per-lens
+        PupilProfile(
+            keys=keys, c0=c0, c1=c1, c2=c2, c4=c4,
+            poly=jnp.zeros((4, POLY_DEGREE + 1), jnp.float32),
+        ),
         key_acceptance,
     )
 
@@ -361,6 +367,85 @@ def dead_film_fraction(keys, key_acceptance, r_max: float) -> float:
     w = np.where(k <= r_max, np.maximum(k, k[1] if k.shape[0] > 1 else 1.0), 0.0)
     dead = acc < (1.0 / 26.0)
     return float((w * dead).sum() / max(w.sum(), 1e-9))
+
+
+POLY_DEGREE = 6          # profile-poly fit degree (7 Horner coefficients)
+POLY_MAX_DEFICIT = 0.02  # use the poly in-kernel only when the raw fit is
+#                          at least this tight (rho units) — cliff-shaped
+#                          profiles (dead film regions, e.g. the fisheye's)
+#                          would need a large soundness uplift that
+#                          destroys the dead-key pre-rejection
+
+
+def fit_profile_poly(profile, r_max: float = None) -> Tuple[Array, float]:
+    """Fit the per-key lerped bound with one degree-``POLY_DEGREE``
+    polynomial per coefficient in ``t = dist / keys[-1]``, uplifted so the
+    poly TOTAL bound dominates the per-key bound for every (dist, phi)
+    REACHABLE ON FILM: ``r_max`` (the film-corner radius,
+    sensor_half*sqrt(2)) truncates the fit domain — the profile keys
+    usually extend beyond the film corner into fully-dead radii (a cliff
+    to the floor bound that no real ray ever samples), and fitting that
+    cliff would cost ~0.5 rho of uplift for nothing.
+
+    Returns ``(poly [4, D+1] Horner coefficients, deficit)`` where
+    ``deficit`` is the worst-case raw under-fit before the uplift: small
+    deficits mean the poly is a tight sound replacement for the 32-key
+    select chain (the kernel gates on POLY_MAX_DEFICIT at compile time —
+    LensSystem.profile_poly).  Soundness: poly >= key-bound >= support;
+    the key bound already carries the fit margins and the held-out
+    validation loosening (build_profile), so no second validation pass is
+    needed.
+    """
+    import numpy as np
+
+    keys = np.asarray(profile.keys, np.float64)
+    dmax = keys[-1]
+    tmax = 1.0 if r_max is None else min(float(r_max) / dmax, 1.0)
+    # the target is piecewise-linear with kinks only at keys, so a grid
+    # that includes every covered key (plus a dense fill) sees the true
+    # extrema of (target - smooth fit)
+    n_grid = (keys.shape[0] - 1) * 16 + 1
+    d = np.union1d(
+        np.linspace(0.0, tmax, n_grid) * dmax, keys[keys <= tmax * dmax]
+    )
+    t = d / dmax
+    c0, c1, c2, c4 = (
+        np.asarray(v, np.float64)
+        for v in profile_lookup(profile, jnp.asarray(d, jnp.float32))
+    )
+    targ = np.stack([c0, c1, c2, c4])                    # [4, n_grid]
+    # float64 host fit (this runs OUTSIDE jit at compile time): plain
+    # Vandermonde in t on [0, 1] is fine at this degree in f64
+    v = t[:, None] ** np.arange(POLY_DEGREE + 1)[None, :]
+    coef, *_ = np.linalg.lstsq(v, targ.T, rcond=None)    # [D+1, 4]
+    fit = (v @ coef).T                                   # [4, n_grid]
+    # worst-case TOTAL-bound under-fit over a dense phi grid: the cos
+    # basis terms can be negative, so per-coefficient domination is
+    # neither necessary nor sufficient — uplift the constant term by the
+    # max deficit of the summed bound
+    phi = np.linspace(0.0, 2.0 * np.pi, 128, endpoint=False)
+    basis = np.stack(
+        [np.ones_like(phi), np.cos(phi), np.cos(2 * phi), np.cos(4 * phi)]
+    )                                                    # [4, n_phi]
+    deficit = float(np.max((targ - fit).T @ basis))
+    poly = coef.T.copy()                                 # [4, D+1]
+    # uplift + a pad for f32 Horner evaluation noise in-kernel
+    poly[0, 0] += max(deficit, 0.0) + 1e-4
+    return jnp.asarray(poly, jnp.float32), deficit
+
+
+def profile_poly_eval(profile, dist: Array):
+    """Evaluate the polynomial bound form (the kernel's in-SMEM math,
+    expressed in jnp for tests/diagnostics): per-coefficient Horner in
+    ``t = clamp(dist / keys[-1], 0, 1)``."""
+    t = jnp.minimum(dist / profile.keys[-1], 1.0)
+    outs = []
+    for j in range(4):
+        acc = profile.poly[j, POLY_DEGREE] * jnp.ones_like(t)
+        for k in range(POLY_DEGREE - 1, -1, -1):
+            acc = acc * t + profile.poly[j, k]
+        outs.append(acc)
+    return tuple(outs)
 
 
 def profile_lookup(profile, dist: Array):

@@ -70,6 +70,12 @@ class PupilProfile:
     c1: Array    # f32[n]  cos(phi) coefficient
     c2: Array    # f32[n]  cos(2 phi) coefficient
     c4: Array    # f32[n]  cos(4 phi) coefficient
+    # Polynomial form of the same bound (r4, pupil.fit_profile_poly):
+    # [4, D+1] Horner coefficients in t = dist/keys[-1], rows = (c0, c1,
+    # c2, c4), uplifted so poly >= the per-key lerped bound everywhere —
+    # the fused kernel evaluates this in 4*(D+1) fmas instead of the
+    # 32-key select chain when the fit is tight (LensSystem.profile_poly).
+    poly: Array = None  # f32[4, D+1]
 
 
 @jax.tree_util.register_dataclass
@@ -135,6 +141,14 @@ class LensSystem:
     # a disk-fitted bound is unsound at the corners).
     profile_domain: str = dataclasses.field(
         metadata=dict(static=True), default="disk"
+    )
+    # Whether the fused kernel evaluates the pre-check bound from
+    # PupilProfile.poly (tight polynomial fit, smooth profiles) instead
+    # of the 32-key select chain — set at compile time from the measured
+    # fit deficit (camera.compile_camera; dead-region cliffs like the
+    # fisheye's keep the exact chain).
+    profile_poly: bool = dataclasses.field(
+        metadata=dict(static=True), default=False
     )
 
     @property
