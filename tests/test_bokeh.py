@@ -75,3 +75,54 @@ def test_output_range():
 def test_zero_luminance_rejected():
     with pytest.raises(ValueError):
         bokeh.build(np.zeros((8, 8, 3), np.float32))
+
+
+def test_build_trace_dump(tmp_path):
+    """The _DEBUGIMAGESAMPLING equivalent (zoic.cpp:47-51, 248-409): the
+    trace must carry every build intermediate, keyed the way the
+    reference keys its dumps (row CDF by the sorted row's original index,
+    column CDF by the global pixel index), and the dumped values must be
+    the ones the sampler actually uses."""
+    import io
+    import re
+
+    rng = np.random.default_rng(11)
+    h, w = 6, 5
+    img = rng.uniform(0.05, 1.0, (h, w, 3)).astype(np.float32)
+    buf = io.StringIO()
+    image = bokeh.build(img, trace=buf)
+    text = buf.getvalue()
+
+    def section(label):
+        pat = re.compile(rf"^{re.escape(label)} \[(\d+)\]: (\S+)$", re.M)
+        return [(int(k), float(v)) for k, v in pat.findall(text)]
+
+    assert len(section("Pixel Luminance")) == h * w
+    assert len(section("Normalized Pixel Value")) == h * w
+    assert len(section("Summed Values row")) == h
+    rows = section("CDF row")
+    assert [k for k, _ in rows] == list(np.asarray(image.row_indices))
+    np.testing.assert_allclose(
+        [v for _, v in rows], np.asarray(image.cdf_row), rtol=1e-6
+    )
+    cols = section("CDF column")
+    assert [k for k, _ in cols] == list(np.asarray(image.col_indices).ravel())
+    np.testing.assert_allclose(
+        [v for _, v in cols], np.asarray(image.cdf_col).ravel(), rtol=1e-6
+    )
+
+    # config-level plumbing: DebugOptions.image_sampling_trace
+    import zoic_tpu as zt
+
+    npy = tmp_path / "bokeh.npy"
+    np.save(npy, img)
+    cfg = zt.CameraConfig(
+        lens_model=zt.LensModel.THINLENS,
+        focal_length=5.0, fstop=1.4, focal_distance=100.0, use_dof=True,
+        use_image=True, bokeh_path=str(npy),
+        debug=zt.DebugOptions(
+            image_sampling_trace=str(tmp_path / "trace.txt")
+        ),
+    )
+    zt.compile_camera(cfg)
+    assert (tmp_path / "trace.txt").read_text() == text

@@ -51,23 +51,46 @@ def luminance(pixels: np.ndarray) -> np.ndarray:
     return p[:, :, 0] * np.float32(0.3) + p[:, :, o1] * np.float32(0.59) + p[:, :, o2] * np.float32(0.11)
 
 
-def build(pixels: np.ndarray) -> BokehImage:
+def build(pixels: np.ndarray, trace=None) -> BokehImage:
     """Construct sampler state from an ``[h, w, c]`` float image
-    (``bokehProbability``, zoic.cpp:222-417)."""
+    (``bokehProbability``, zoic.cpp:222-417).
+
+    ``trace``: optional write() target (e.g. an open text file or
+    ``io.StringIO``) receiving every build intermediate — the runtime
+    replacement for the reference's ``_DEBUGIMAGESAMPLING`` compile flag
+    (zoic.cpp:47-51, 248-409), which streams pixel luminance, normalized
+    PDF, row sums, sorted row CDF (keyed by rowIndices), per-row
+    normalized values, and the per-row column CDFs (keyed by the global
+    columnIndices) to stdout during the build."""
     lum = luminance(np.asarray(pixels))
     h, w = lum.shape
+
+    def emit(label, arr, keys=None):
+        if trace is None:
+            return
+        arr = np.asarray(arr).reshape(-1)
+        ks = np.asarray(keys).reshape(-1) if keys is not None else range(len(arr))
+        for k, v in zip(ks, arr):
+            trace.write(f"{label} [{k}]: {v:.9g}\n")
+        trace.write("-" * 46 + "\n")
 
     total = lum.sum(dtype=np.float64)
     if total <= 0:
         raise ValueError("bokeh image has zero total luminance")
+    emit("Pixel Luminance", lum)
     normalized = (lum / np.float32(total)).astype(np.float32)
+    emit("Normalized Pixel Value", normalized)
 
     row_sums = normalized.sum(axis=1, dtype=np.float32)
+    emit("Summed Values row", row_sums)
     # std::sort with a strict > comparator; ties keep first-index-first under
     # stable sort, which we choose deterministically (the reference's
     # introsort tie order is unspecified).
     row_indices = np.argsort(-row_sums, kind="stable").astype(np.int32)
     cdf_row = np.cumsum(row_sums[row_indices], dtype=np.float32)
+    # reference keys the row-CDF dump by the SORTED row's original index
+    # (zoic.cpp:338)
+    emit("CDF row", cdf_row, keys=row_indices)
 
     with np.errstate(divide="ignore", invalid="ignore"):
         per_row = np.where(
@@ -78,10 +101,13 @@ def build(pixels: np.ndarray) -> BokehImage:
 
     # columnIndices hold *global* pixel indices, sorted desc within each row
     # (zoic.cpp:376-382).
+    emit("Normalized Pixel value per row", per_row)
     order = np.argsort(-per_row, axis=1, kind="stable").astype(np.int32)
     col_indices = order + (np.arange(h, dtype=np.int32) * w)[:, None]
     sorted_vals = np.take_along_axis(per_row, order, axis=1)
     cdf_col = np.cumsum(sorted_vals, axis=1, dtype=np.float32)
+    # keyed by the global pixel index of each sorted column (zoic.cpp:405)
+    emit("CDF column", cdf_col, keys=col_indices)
 
     # Precompute the final [-1, 1] remaps (zoic.cpp:441-485) with NUMPY's
     # true f32 division: under jit XLA rewrites /const into *reciprocal
@@ -110,14 +136,15 @@ def build(pixels: np.ndarray) -> BokehImage:
     )
 
 
-def load(path: str) -> BokehImage:
+def load(path: str, trace=None) -> BokehImage:
     """Load a bokeh image file (``imageData::read``, zoic.cpp:168-219).
 
     The reference delegates decoding to Arnold's texture API; here ``.npy``
     arrays are always supported and common image formats when Pillow is
-    available."""
+    available.  ``trace`` forwards to :func:`build` (the
+    ``_DEBUGIMAGESAMPLING`` build dump)."""
     if path.endswith(".npy"):
-        return build(np.load(path))
+        return build(np.load(path), trace=trace)
     try:
         from PIL import Image  # type: ignore
     except ImportError as e:  # pragma: no cover
@@ -125,7 +152,7 @@ def load(path: str) -> BokehImage:
             f"Cannot read {path!r}: install Pillow or provide a .npy array"
         ) from e
     img = np.asarray(Image.open(path), dtype=np.float32) / 255.0
-    return build(img)
+    return build(img, trace=trace)
 
 
 def _sample_chunk(

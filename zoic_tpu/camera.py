@@ -55,7 +55,14 @@ def compile_camera(
 
     bokeh_state = None
     if config.use_image:
-        bokeh_state = bokeh_mod.load(config.bokeh_path)
+        tr_path = config.debug.image_sampling_trace
+        if tr_path:
+            # _DEBUGIMAGESAMPLING equivalent: dump every CDF-build
+            # intermediate (zoic.cpp:248-409) while compiling the image
+            with open(tr_path, "w") as tr:
+                bokeh_state = bokeh_mod.load(config.bokeh_path, trace=tr)
+        else:
+            bokeh_state = bokeh_mod.load(config.bokeh_path)
 
     lens = None
     if config.lens_model is LensModel.RAYTRACED:

@@ -144,10 +144,17 @@ class DebugOptions:
     generators additionally return a "ray tape" for a strided sub-batch of
     rays (the vectorized analog of dumping every 100,000th ray,
     zoic.cpp:1758-1764).
+
+    ``image_sampling_trace`` mirrors ``_DEBUGIMAGESAMPLING``
+    (zoic.cpp:47-51, 248-409): a path that receives every bokeh-CDF build
+    intermediate (luminance, normalized PDF, row sums, sorted row CDF,
+    per-row normalized values, column CDFs) when the bokeh image is
+    compiled — see ``bokeh.build(trace=...)``.
     """
 
     draw: bool = False
     draw_stride: int = 100_000  # reference dumps 1 ray per 100k (zoic.cpp:1760)
+    image_sampling_trace: str | None = None
 
 
 @dataclasses.dataclass(frozen=True)
