@@ -111,6 +111,35 @@ def test_compact_dual_trace():
     np.testing.assert_allclose(dF[live], dT[live], atol=6e-6)
 
 
+def test_compact_dead_heavy_r0_burn():
+    """Dead-heavy lenses burn the whole try budget in round 0's pre-check
+    scan (round0_draws == max_total) and skip the bulk budget-burn era
+    (_compaction_schedule ``r0_burned``): trajectories must stay
+    bit-identical to the uncompacted whole-tile loop (PRNG counters are
+    per-ray try counts, so round grouping is invisible), and most rays
+    must exhaust the budget through pre-check rejections alone (the
+    dead-film class, zoic.cpp:1458-1544)."""
+    cfg = zt.CameraConfig(
+        lens_model=zt.LensModel.RAYTRACED,
+        lens_data_path=zt.data.lens_path("telephoto_f5.0"),
+        focal_length=10.0, fstop=5.0, focal_distance=30.0,
+        kolb_sampling_lut=True, lut_bounds_samples=5_000,
+        pupil_precheck=True,
+    )
+    state = zt.compile_camera(cfg)
+    assert state.lens.dead_frac >= 0.6  # the r0-burn regime gate
+    n = 16 * 128 + 77
+    oF, dF, tF, tirF = _run(cfg, state, n, compact=False, max_tries=12)
+    oT, dT, tT, tirT = _run(cfg, state, n, compact=True, max_tries=12)
+    np.testing.assert_array_equal(tF, tT)
+    np.testing.assert_array_equal(tirF, tirT)
+    live = tF <= 12
+    np.testing.assert_allclose(oF[live], oT[live], atol=6e-6)
+    np.testing.assert_allclose(dF[live], dT[live], atol=6e-6)
+    # sanity: the dead-film budget burn actually dominates this config
+    assert (tF > 12).mean() > 0.3
+
+
 def test_compact_tiny_budget():
     """max_tries=0: one retry round runs, partial state still updates
     (zoic.cpp:1766-1767 semantics) — identical across machines."""

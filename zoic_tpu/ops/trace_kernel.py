@@ -324,7 +324,11 @@ def _plane_layout(use_lut: bool, use_profile: bool):
     profile planes only when the pupil pre-check is active."""
     names = ["fx", "fy", "ox", "oy", "oz", "dx", "dy", "dz"]
     if use_lut:
-        names += ["ms", "trn", "sn", "cs"]
+        # folded shaping affine (sa, sb, kx, ky): see attempt_on — the
+        # scale/translate/rotate chain and the film-point subtraction
+        # collapse into 4 per-ray coefficients, so each traced attempt
+        # costs 4 fmas instead of the 8-op ms/trn/sn/cs chain
+        names += ["sa", "sb", "kx", "ky"]
     if use_profile:
         names += ["pc0", "pc1", "pc2", "pc4"]
     return {n: i for i, n in enumerate(names)}
@@ -492,7 +496,8 @@ def _compaction_schedule(rows: int, max_total: int,
                          era2_drain: bool = False,
                          era3_far_every: int = 1,
                          bulk_draws: int = 0,
-                         skip_era1: bool = False):
+                         skip_era1: bool = False,
+                         r0_burned: bool = False):
     """Era pyramid for in-kernel straggler compaction.
 
     Each era = (region_h, fold_src_offsets, rounds_per_rep, max_reps,
@@ -515,8 +520,18 @@ def _compaction_schedule(rows: int, max_total: int,
     design, zoic.cpp:1458-1544): those rays stay pending until the budget
     exhausts, so folds cannot shrink the working set — run whole-tile
     rounds (each consuming ``draws_per_round`` draws via the pre-check)
-    until the budget drains, then a small pyramid mops up stragglers."""
-    if dead_heavy:
+    until the budget drains, then a small pyramid mops up stragglers.
+
+    ``r0_burned`` (r4): round 0's pre-check scan already covered the WHOLE
+    try budget (round0_draws >= max_total), so dead rays arrive here with
+    tries == max_total — no bulk budget-burn era is needed, and the only
+    pending rays are failed-trace stragglers (~2% measured on the
+    telephoto/petzval class), which the ordinary fold pyramid resolves
+    without further whole-tile traces.  The bulk era cost 3-4 full-tile
+    traces per tile for those stragglers alone (telephoto focus-30
+    measured 145M with the bulk era; the budget-burn work itself is
+    ~26 x 50 pre-check ops/ray either way)."""
+    if dead_heavy and not r0_burned:
         # budget-burn rounds are whole-tile (16 vregs of ILP ->
         # throughput-bound), so they take a HIGHER pre-check draw count
         # than the latency-bound prefix mop-up rounds: K applies per era
@@ -689,11 +704,13 @@ def _round_core(
     pending = (ok_i == 0) & (tries < max_total)
     if not use_profile:
         if draws is not None:
-            u1, u2 = draws
+            # presampled: the plane cells ARE [-1,1] aperture offsets
+            lx, ly = draws
         else:
             u1 = _hash_uniform(ids, seed, tries, 0x11111111)
             u2 = _hash_uniform(ids, seed, tries, 0x22222222)
-        nox, noy, noz, ndx, ndy, ndz, nok, ntir = attempt(u1, u2)
+            lx, ly = _concentric(u1, u2)
+        nox, noy, noz, ndx, ndy, ndz, nok, ntir = attempt(lx, ly)
         consumed = pending.astype(jnp.int32)
         merge = pending
     else:
@@ -751,8 +768,11 @@ def _round_core(
             bound = pc0 + pc1 * cphi + pc2 * t2 + pc4 * t4
             pass_j = rho <= bound
             take = can & pass_j
-            cand1 = jnp.where(take, u1, cand1)
-            cand2 = jnp.where(take, u2, cand2)
+            # latch the WARPED candidate: attempt() takes (lx, ly)
+            # directly, so the concentric warp is not recomputed for the
+            # traced draw (bit-identical — same function of the same u's)
+            cand1 = jnp.where(take, lx, cand1)
+            cand2 = jnp.where(take, ly, cand2)
             found = jnp.where(take, 1, found)
         nox, noy, noz, ndx, ndy, ndz, nok, ntir = attempt(cand1, cand2)
         merge = pending & (found == 1)
@@ -792,8 +812,8 @@ def _round_core(
                 t4 = 2.0 * t2 * t2 - 1.0
                 pass_j = rho <= pc0 + pc1 * cphi + pc2 * t2 + pc4 * t4
                 take = can & pass_j
-                cand1b = jnp.where(take, u1, cand1b)
-                cand2b = jnp.where(take, u2, cand2b)
+                cand1b = jnp.where(take, lx, cand1b)
+                cand2b = jnp.where(take, ly, cand2b)
                 found2 = jnp.where(take, 1, found2)
             nbx, nby, nbz, nbdx, nbdy, nbdz, nbok, nbtir = attempt(
                 cand1b, cand2b
@@ -955,27 +975,31 @@ def _raytraced_kernel(
     pf = _plane_layout(use_lut, use_profile)
     n_f32 = len(pf)
 
-    def attempt_on(fx, fy, ms, trn, sn, cs):
+    def attempt_on(fx, fy, sa, sb, kx, ky):
+        """Build the per-attempt tracer over folded shaping coefficients.
+
+        ``attempt(lx, ly)`` takes the APERTURE-DISK candidate directly
+        (callers do the concentric warp / bokeh passthrough once, in the
+        pre-check scan, and latch the selected (lx, ly) — recomputing the
+        warp per trace cost ~25 VPU ops/attempt).  The LUT shaping chain
+        (scale ms, translate trn, rotate by theta, subtract the film
+        point; zoic.cpp:1891-1924) is an affine map, folded per ray into
+            sa = ms*cos t,  sb = ms*sin t,
+            kx = trn*cos t - fx,  ky = trn*sin t - fy
+        so the ray direction is 4 fmas: dx = lx*sa - ly*sb + kx,
+        dy = lx*sb + ly*sa + ky.  Naive mode (no rotation/translation,
+        zoic.cpp:1874) passes kx=ky=None with scalar sa."""
         fz = jnp.zeros_like(fx) + origin_shift
 
-        def attempt(u1, u2):
-            if presampled:
-                # (u1, u2) are [-1,1] aperture offsets already drawn from
-                # the bokeh-image CDF (zoic.cpp:1870); shaping still applies
-                lx, ly = u1, u2
+        def attempt(lx, ly):
+            if kx is None:
+                dx = lx * sa - fx
+                dy = ly * sa - fy
             else:
-                lx, ly = _concentric(u1, u2)
-            if use_lut:
-                ax = lx * ms + trn
-                ay = ly * ms
-                tx = ax * cs - ay * sn
-                ty = ax * sn + ay * cs
-            else:
-                # naive: whole first element, no rotation (zoic.cpp:1874)
-                tx = lx * ms
-                ty = ly * ms
+                dx = lx * sa - ly * sb + kx
+                dy = lx * sb + ly * sa + ky
             return _trace_block(
-                elems_ref, n_elems, fx, fy, fz, tx - fx, ty - fy,
+                elems_ref, n_elems, fx, fy, fz, dx, dy,
                 jnp.zeros_like(fx) + dz0, iris_idx=iris_idx,
                 flags=elem_flags,
             )
@@ -996,15 +1020,17 @@ def _raytraced_kernel(
     if use_lut:
         ms, trn = shaping["ms"], shaping["trn"]
         sn, cs = shaping["sn"], shaping["cs"]
+        sa, sb = ms * cs, ms * sn
+        kx, ky = trn * cs - fx, trn * sn - fy
     else:
-        ms, trn = naive_scale, jnp.float32(0.0)
-        sn, cs = jnp.float32(0.0), jnp.float32(1.0)
+        sa, sb = naive_scale, None
+        kx = ky = None
     pcs = (
         (shaping["pc0"], shaping["pc1"], shaping["pc2"], shaping["pc4"])
         if use_profile else None
     )
     ids = _lane_ids(fx.shape, pl.program_id(0) * rows)
-    attempt = attempt_on(fx, fy, ms, trn, sn, cs)
+    attempt = attempt_on(fx, fy, sa, sb, kx, ky)
 
     # pad lanes (beyond the true batch) never enter the retry rounds
     tries = jnp.where(ids < batch_size, 0, max_total + 1)
@@ -1040,7 +1066,11 @@ def _raytraced_kernel(
         )
     else:
         # attempt #0 from the caller's uniforms; consumes no retry
-        ox, oy, oz, dx, dy, dz, ok, tir0 = attempt(u1_ref[:], u2_ref[:])
+        if presampled:
+            l0x, l0y = u1_ref[:], u2_ref[:]
+        else:
+            l0x, l0y = _concentric(u1_ref[:], u2_ref[:])
+        ox, oy, oz, dx, dy, dz, ok, tir0 = attempt(l0x, l0y)
         # loop-carried masks are int32: Mosaic has no i1 vector selects
         ok_i = ok.astype(jnp.int32)
         tir_count = tir0.astype(jnp.int32)
@@ -1109,7 +1139,7 @@ def _raytraced_kernel(
             "ox": ox, "oy": oy, "oz": oz, "dx": dx, "dy": dy, "dz": dz,
         }
         if use_lut:
-            vals.update(ms=ms, trn=trn, sn=sn, cs=cs)
+            vals.update(sa=sa, sb=sb, kx=kx, ky=ky)
         if use_profile:
             vals.update(pc0=pcs[0], pc1=pcs[1], pc2=pcs[2], pc4=pcs[3])
         for name, plane in pf.items():
@@ -1130,10 +1160,10 @@ def _raytraced_kernel(
             latency-bound prefix mop-up; see _compaction_schedule)."""
             if use_lut:
                 r_shape = tuple(
-                    st_f[pf[nm], 0:h, :] for nm in ("ms", "trn", "sn", "cs")
+                    st_f[pf[nm], 0:h, :] for nm in ("sa", "sb", "kx", "ky")
                 )
             else:
-                r_shape = (ms, trn, sn, cs)  # scalars
+                r_shape = (sa, sb, kx, ky)  # scalar scale, no affine
             att = attempt_on(
                 st_f[pf["fx"], 0:h, :], st_f[pf["fy"], 0:h, :], *r_shape
             )
@@ -1208,6 +1238,7 @@ def _raytraced_kernel(
             era3_far_every=sched_knobs[3],
             bulk_draws=sched_knobs[4] if use_profile else 0,
             skip_era1=sched_knobs[5],
+            r0_burned=use_profile and r0_draws >= max_total,
         )
         _run_compaction(
             st_f, st_i, n_f32, rows, max_total, region_round, sched
@@ -1802,16 +1833,30 @@ def raytraced_fused(
 
     if dead_heavy is None:
         dead_heavy = lens.dead_frac >= 0.3
+    # Whole-budget round 0 (r4): on dead-heavy lenses most rays burn the
+    # full try budget through pre-check rejections (dead film keys), so
+    # round 0's full-tile, throughput-bound scan covers max_total draws in
+    # one pass and the bulk budget-burn era (with its unconditional
+    # full-tile trace per round) disappears — the fold pyramid only mops
+    # up failed-trace stragglers (_compaction_schedule r0_burned).
+    # Presampled (bokeh) mode keeps the per-round plane streaming instead
+    # of materializing max_total offset planes.
+    r0_burn = (
+        dead_heavy and use_profile and not presampled and round0_draws == 0
+        and compact
+    )
+    if r0_burn:
+        round0_draws = max_total
     if precheck_draws is None:
-        # per-lens pre-check draw budget (r3 K sweep, PERF_NOTES): VERY
-        # dead lenses burn whole budgets in whole-tile rounds where a
-        # deep draw chain is throughput-bound (fisheye, dead_frac 0.7:
-        # 246 -> 287M; petzval, 0.9: 260 -> 292M at K=13).  The
-        # telephoto class (dead_frac 0.5) still resolves most rays
-        # through the latency-bound mop-up prefix, where the deep chain
-        # loses badly (K=13: 63.9 vs K=4: 99.6M), so the shallow K=4
-        # stays its default, as for the high-acceptance double-gauss.
-        precheck_draws = 13 if lens.dead_frac >= 0.6 else PRECHECK_DRAWS
+        # per-lens pre-check draw budget (r3 K sweep, PERF_NOTES): deep
+        # chains only pay in whole-tile budget-burn rounds.  With the
+        # whole-budget round 0 those rounds are gone — every post-r0
+        # round is latency-bound mop-up where the shallow chain wins
+        # (K=13: 63.9 vs K=4: 99.6M on the telephoto class, r3).
+        if r0_burn:
+            precheck_draws = PRECHECK_DRAWS
+        else:
+            precheck_draws = 13 if lens.dead_frac >= 0.6 else PRECHECK_DRAWS
     kernel = functools.partial(
         _raytraced_kernel, n_elems, n_keys, max_total, use_lut, use_profile,
         use_poly, compact, presampled, dead_heavy,
