@@ -149,6 +149,39 @@ def test_static_flags_match_dynamic(samples):
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=6e-6)
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("lens_name", sorted(zt.data.LENSES))
+def test_static_flags_match_dynamic_full_budget(samples, lens_name):
+    """VERDICT r4 #4: the static topology specialization must be proven at
+    the FULL retry budget on every shipped prescription, not just at
+    max_tries=0 on the headline lens — try/TIR accounting bit-exact,
+    payloads to cross-program fma noise."""
+    import dataclasses
+    from zoic_tpu.ops import trace_kernel
+
+    sx, sy, u, v = samples
+    cfg = _cfg("pallas", lens=lens_name, max_tries=25)
+    state = zt.compile_camera(cfg)
+    lens = state.lens
+    assert lens.iris_identity and len(lens.elem_flags) == lens.count
+    plain = dataclasses.replace(lens, iris_identity=False, elem_flags=())
+
+    outs = [
+        trace_kernel.raytraced_fused(
+            lv, sx[:1024], sy[:1024], u[:1024], v[:1024],
+            state.sensor_width, jnp.int32(3),
+            max_tries=25, interpret=True, compact=False, use_lut=True,
+            use_profile=False,
+        )
+        for lv in (lens, plain)
+    ]
+    (o1, d1, t1, r1), (o2, d2, t2, r2) = outs
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=6e-6)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=6e-6)
+
+
 def test_pallas_odd_batch_padding():
     """Batch sizes not divisible by the tile are padded and unpadded."""
     n = 1000  # not a multiple of 128

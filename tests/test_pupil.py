@@ -290,7 +290,7 @@ def test_profile_poly_gate_rejects_cliffs():
     lens = zt.compile_camera(cfg).lens
     assert lens.dead_frac >= 0.5
     assert not lens.profile_poly
-    poly, deficit = pupil.fit_profile_poly(
+    poly, _scale, deficit = pupil.fit_profile_poly(
         lens.profile, r_max=cfg.sensor_width * 0.5 * 2**0.5
     )
     assert deficit > pupil.POLY_MAX_DEFICIT

@@ -140,10 +140,16 @@ _RANGES = {
 class DebugOptions:
     """Runtime replacements for the reference's compile-time debug flags.
 
-    ``draw`` mirrors ``_DRAW`` (zoic.cpp:53-57): when enabled, the ray
-    generators additionally return a "ray tape" for a strided sub-batch of
-    rays (the vectorized analog of dumping every 100,000th ray,
-    zoic.cpp:1758-1764).
+    ``draw`` mirrors ``_DRAW`` (zoic.cpp:53-57): when enabled,
+    :meth:`zoic_tpu.camera.Camera.create_rays` additionally records a ray
+    tape (per-element hit segments) for a 1-in-``draw_stride`` sub-batch of
+    each generation — the vectorized analog of dumping every 100,000th ray
+    (zoic.cpp:1758-1764) — and :meth:`Camera.finish` writes the accumulated
+    ``draw.zoic`` dump and renders the ray-diagram PNG, reproducing the
+    reference's render-then-auto-draw flow (zoic.cpp:1741-1745).  The
+    functional ``create_rays`` stays pure; use
+    :func:`zoic_tpu.diag.session.render_debug_session` for a one-call
+    equivalent without the stateful wrapper.
 
     ``image_sampling_trace`` mirrors ``_DEBUGIMAGESAMPLING``
     (zoic.cpp:47-51, 248-409): a path that receives every bokeh-CDF build
@@ -231,6 +237,15 @@ class CameraConfig:
     # cameraParams::bokehChanged (zoic.cpp:608-611)
     def bokeh_key(self) -> Tuple:
         return (self.use_image, self.bokeh_path if self.use_image else None)
+
+    # The subset of lens_key the LENS-SOLVE pipeline actually reads: the
+    # bokeh image path only feeds the sampler state, never the solve
+    # (``use_image`` stays — it selects the pre-check profile's fit
+    # domain, compile_camera).  Camera.update uses this to rebuild only
+    # the bokeh state on a bokeh-path-only change.
+    def solve_key(self) -> Tuple:
+        k = self.lens_key()
+        return k[:6] + k[7:]
 
     def replace(self, **kw) -> "CameraConfig":
         return dataclasses.replace(self, **kw)

@@ -6,4 +6,4 @@ the Python2/PIL renderers become matplotlib, and the dump format stays
 byte-compatible so artifacts interchange with the reference plugin.
 """
 
-from . import draw, dump, pupilplot, tape  # noqa: F401
+from . import draw, dump, pupilplot, session, tape  # noqa: F401

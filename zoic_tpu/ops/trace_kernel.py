@@ -415,13 +415,21 @@ def _shaping_from_table(shap_ref, prof_ref, n_keys, spacing, inv_dmax,
     if chain_profile:
         out["pc0"], out["pc1"], out["pc2"], out["pc4"] = vals
     elif use_profile:
-        t = jnp.minimum(dist * inv_dmax, 1.0)
+        # t normalizer is the poly's own fit-domain edge (poly_scale =
+        # min(film-corner radius, keys[-1]), pupil.fit_profile_poly); film
+        # radii beyond it (|sx| > 1 overscan callers) are outside the
+        # fitted/validated domain, so the pre-check is DISABLED for those
+        # rays (bound -> +inf: every candidate passes to a full trace)
+        # instead of evaluating the unfitted extrapolation (ADVICE r4 #2).
+        t_raw = dist * inv_dmax
+        t = jnp.minimum(t_raw, 1.0)
         deg = prof_ref.shape[1] - 1
         for j, name in enumerate(("pc0", "pc1", "pc2", "pc4")):
             acc = jnp.zeros_like(t) + prof_ref[j, deg]
             for k in range(deg - 1, -1, -1):
                 acc = acc * t + prof_ref[j, k]
             out[name] = acc
+        out["pc0"] = jnp.where(t_raw > 1.0, jnp.float32(1e9), out["pc0"])
     return out
 
 
@@ -1744,8 +1752,13 @@ def raytraced_fused(
     b = sx.shape[0]
     max_total = max_tries + 1
     # presampled + use_profile is the image-bokeh pre-check: candidates
-    # are square offsets, so the caller must supply a square-domain-fitted
-    # profile (models/raytraced.py gates on lens.profile_domain)
+    # are square offsets, so the profile must be square-domain-fitted — a
+    # disk-fitted bound is unsound at the corners.  models/raytraced.py
+    # gates on lens.profile_domain; this guard keeps DIRECT callers
+    # (tests, tools, future call sites) sound too (ADVICE r4 #3).
+    assert not (presampled and use_profile) or (
+        lens.profile_domain == "square"
+    ), "presampled (bokeh) pre-check requires a square-domain profile fit"
     # the compacted machine packs ok/tries/tir/home-row into one i32 plane
     # (6-bit try fields -> max_total+1 < 64; row field sized for <=256
     # rows), and the bitonic network needs power-of-2 rows.  Presampled
@@ -1795,7 +1808,12 @@ def raytraced_fused(
         else jnp.zeros((4, 7), jnp.float32)
     )
     inv_dmax = (
-        1.0 / lens.profile.keys[-1]
+        1.0
+        / (
+            lens.profile.poly_scale
+            if (use_poly and lens.profile.poly_scale is not None)
+            else lens.profile.keys[-1]
+        )
         if use_profile and lens.profile is not None
         else jnp.float32(1.0)
     )

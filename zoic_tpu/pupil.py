@@ -344,6 +344,7 @@ def build_profile(
         PupilProfile(
             keys=keys, c0=c0, c1=c1, c2=c2, c4=c4,
             poly=jnp.zeros((4, POLY_DEGREE + 1), jnp.float32),
+            poly_scale=keys[-1],
         ),
         key_acceptance,
     )
@@ -377,38 +378,93 @@ POLY_MAX_DEFICIT = 0.02  # use the poly in-kernel only when the raw fit is
 #                          destroys the dead-key pre-rejection
 
 
-def fit_profile_poly(profile, r_max: float = None) -> Tuple[Array, float]:
-    """Fit the per-key lerped bound with one degree-``POLY_DEGREE``
-    polynomial per coefficient in ``t = dist / keys[-1]``, uplifted so the
-    poly TOTAL bound dominates the per-key bound for every (dist, phi)
-    REACHABLE ON FILM: ``r_max`` (the film-corner radius,
-    sensor_half*sqrt(2)) truncates the fit domain — the profile keys
-    usually extend beyond the film corner into fully-dead radii (a cliff
-    to the floor bound that no real ray ever samples), and fitting that
-    cliff would cost ~0.5 rho of uplift for nothing.
+def _poly_interval_max(coefs: "np.ndarray", lo: float, hi: float) -> float:
+    """Exact max of a batch of 1-D polynomials over [lo, hi].
 
-    Returns ``(poly [4, D+1] Horner coefficients, deficit)`` where
-    ``deficit`` is the worst-case raw under-fit before the uplift: small
-    deficits mean the poly is a tight sound replacement for the 32-key
-    select chain (the kernel gates on POLY_MAX_DEFICIT at compile time —
-    LensSystem.profile_poly).  Soundness: poly >= key-bound >= support;
-    the key bound already carries the fit margins and the held-out
-    validation loosening (build_profile), so no second validation pass is
-    needed.
+    ``coefs`` is [N, D+1] ascending-power.  The max of each polynomial is
+    attained at an endpoint or a real root of its derivative — found via
+    batched companion-matrix eigenvalues (no sampling grid involved)."""
+    import numpy as np
+
+    n, dp1 = coefs.shape
+    best = np.maximum(
+        (coefs * lo ** np.arange(dp1)).sum(1),
+        (coefs * hi ** np.arange(dp1)).sum(1),
+    )
+    # derivative coefficients, ascending: d/dt sum a_k t^k = sum k a_k t^(k-1)
+    dcoef = coefs[:, 1:] * np.arange(1, dp1)[None, :]    # [N, D]
+    # normalize rows; degrees can collapse when leading terms vanish
+    scale = np.max(np.abs(dcoef), axis=1, keepdims=True)
+    ok_rows = scale[:, 0] > 0.0
+    dn = np.where(scale > 0, dcoef / np.maximum(scale, 1e-300), 0.0)
+    deg = dp1 - 2
+    # split rows by effective degree (leading coeff ~0 -> lower degree)
+    for d_eff in range(deg, 0, -1):
+        lead = dn[:, d_eff]
+        rows = np.where(ok_rows & (np.abs(lead) > 1e-12))[0]
+        if rows.size:
+            # batched companion matrices of the degree-d_eff polynomials
+            comp = np.zeros((rows.size, d_eff, d_eff))
+            comp[:, 1:, :-1] = np.eye(d_eff - 1)[None]
+            comp[:, :, -1] = -dn[rows, :d_eff] / lead[rows, None]
+            roots = np.linalg.eigvals(comp)               # [R, d_eff]
+            real = np.abs(roots.imag) < 1e-9
+            tt = np.clip(roots.real, lo, hi)
+            vals = np.zeros_like(tt)
+            for k in range(dp1):
+                vals += coefs[rows, k][:, None] * tt ** k
+            vals = np.where(real, vals, -np.inf)
+            best[rows] = np.maximum(best[rows], vals.max(1))
+            ok_rows[rows] = False
+        # remaining rows: their lead coeff at this degree is ~0, retry lower
+    return float(best.max())
+
+
+def fit_profile_poly(profile, r_max: float = None) -> Tuple[Array, Array, float]:
+    """Fit the per-key lerped bound with one degree-``POLY_DEGREE``
+    polynomial per coefficient in ``t = dist / poly_scale``, uplifted so
+    the poly TOTAL bound dominates the per-key bound for every (dist, phi)
+    REACHABLE ON FILM: ``poly_scale = min(r_max, keys[-1])`` (``r_max`` is
+    the film-corner radius, sensor_half*sqrt(2)) is the fit-domain edge —
+    the profile keys usually extend beyond the film corner into fully-dead
+    radii (a cliff to the floor bound that no real ray ever samples), and
+    fitting that cliff would cost ~0.5 rho of uplift for nothing.  Radii
+    beyond ``poly_scale`` never evaluate the poly at all: the kernel
+    disables the pre-check there (ADVICE r4 #2), so the unfitted
+    extrapolation is unreachable.
+
+    Returns ``(poly [4, D+1] Horner coefficients, poly_scale, deficit)``
+    where ``deficit`` is the worst-case raw under-fit before the uplift:
+    small deficits mean the poly is a tight sound replacement for the
+    32-key select chain (the kernel gates on POLY_MAX_DEFICIT at compile
+    time — LensSystem.profile_poly).
+
+    Soundness: poly >= key-bound >= support on the whole fitted domain.
+    The under-fit maximum is computed ANALYTICALLY, not grid-sampled
+    (ADVICE r4 #1): on each key interval the lerped chain bound is linear
+    in t and the fit is a degree-``POLY_DEGREE`` polynomial, so for any
+    fixed azimuth the summed-bound difference is a polynomial in t whose
+    interval max sits at an endpoint or a derivative root
+    (:func:`_poly_interval_max`).  The azimuth enters only through the 4
+    cosine basis weights; it is scanned on a dense grid, which is exact in
+    the limit and Lipschitz-small between samples (the uplift pad covers
+    it).  The key bound itself already carries the fit margins and the
+    held-out validation loosening (build_profile), so no second MC
+    validation pass is needed.
     """
     import numpy as np
 
     keys = np.asarray(profile.keys, np.float64)
     dmax = keys[-1]
-    tmax = 1.0 if r_max is None else min(float(r_max) / dmax, 1.0)
-    # the target is piecewise-linear with kinks only at keys, so a grid
-    # that includes every covered key (plus a dense fill) sees the true
-    # extrema of (target - smooth fit)
+    scale = dmax if r_max is None else min(float(r_max), dmax)
+    tmax = 1.0
+    # least-squares target on a dense grid (the grid only shapes the FIT;
+    # soundness comes from the analytic uplift below)
     n_grid = (keys.shape[0] - 1) * 16 + 1
     d = np.union1d(
-        np.linspace(0.0, tmax, n_grid) * dmax, keys[keys <= tmax * dmax]
+        np.linspace(0.0, tmax, n_grid) * scale, keys[keys <= scale]
     )
-    t = d / dmax
+    t = d / scale
     c0, c1, c2, c4 = (
         np.asarray(v, np.float64)
         for v in profile_lookup(profile, jnp.asarray(d, jnp.float32))
@@ -418,33 +474,83 @@ def fit_profile_poly(profile, r_max: float = None) -> Tuple[Array, float]:
     # Vandermonde in t on [0, 1] is fine at this degree in f64
     v = t[:, None] ** np.arange(POLY_DEGREE + 1)[None, :]
     coef, *_ = np.linalg.lstsq(v, targ.T, rcond=None)    # [D+1, 4]
-    fit = (v @ coef).T                                   # [4, n_grid]
-    # worst-case TOTAL-bound under-fit over a dense phi grid: the cos
-    # basis terms can be negative, so per-coefficient domination is
-    # neither necessary nor sufficient — uplift the constant term by the
-    # max deficit of the summed bound
-    phi = np.linspace(0.0, 2.0 * np.pi, 128, endpoint=False)
-    basis = np.stack(
+
+    # ---- analytic worst-case under-fit (deficit) ----------------------
+    # Per key interval [k_i, k_{i+1}] (clipped to the fit domain) each
+    # chain coefficient is linear in t; per azimuth phi the summed-bound
+    # difference g(t) = sum_j w_j(phi) * (lin_j(t) - poly_j(t)) is a
+    # degree-POLY_DEGREE polynomial — max it exactly per (interval, phi).
+    phi = np.linspace(0.0, 2.0 * np.pi, 256, endpoint=False)
+    w = np.stack(
         [np.ones_like(phi), np.cos(phi), np.cos(2 * phi), np.cos(4 * phi)]
     )                                                    # [4, n_phi]
-    deficit = float(np.max((targ - fit).T @ basis))
+    cc = np.stack(
+        [
+            np.asarray(profile.c0, np.float64),
+            np.asarray(profile.c1, np.float64),
+            np.asarray(profile.c2, np.float64),
+            np.asarray(profile.c4, np.float64),
+        ]
+    )                                                    # [4, K]
+    deficit = -np.inf
+    edges = [0.0] + [float(k) for k in keys if 0.0 < k < scale] + [scale]
+    for lo_d, hi_d in zip(edges[:-1], edges[1:]):
+        if hi_d - lo_d <= 0:
+            continue
+        lo_t, hi_t = lo_d / scale, hi_d / scale
+        # chain coefficients as linear polys in t on this interval: the
+        # lerp runs between the bracketing keys (profile_lookup semantics)
+        i_lb = min(int(np.ceil(hi_d / (keys[1] - keys[0]) - 1e-12)), len(keys) - 1)
+        i_pr = max(i_lb - 1, 0)
+        k_lb, k_pr = keys[i_lb], keys[i_pr]
+        den = k_pr - k_lb
+        out_v = np.zeros((4, 2))
+        for j in range(4):
+            if den != 0.0:
+                # value(d) = c[lb] + (d - k_lb)/(k_pr - k_lb) * (c[pr]-c[lb])
+                sl = (cc[j, i_pr] - cc[j, i_lb]) / den
+                out_v[j, 0] = cc[j, i_lb] - k_lb * sl
+                out_v[j, 1] = sl * scale       # d = t * scale
+            else:
+                out_v[j, 0] = cc[j, i_lb]
+        # g coefficients per phi: [n_phi, D+1]
+        lin = np.zeros((4, POLY_DEGREE + 1))
+        lin[:, :2] = out_v
+        gcoef = np.einsum("jp,jk->pk", w, lin - coef.T)
+        deficit = max(deficit, _poly_interval_max(gcoef, lo_t, hi_t))
+
     poly = coef.T.copy()                                 # [4, D+1]
-    # uplift + a pad for f32 Horner evaluation noise in-kernel
+    # uplift + a pad for f32 Horner evaluation noise in-kernel and for
+    # the azimuth-grid spacing (the bound is smooth in phi; 256 samples
+    # leave a O((pi/256)^2 * |c|) residual, far below the pad)
     poly[0, 0] += max(deficit, 0.0) + 1e-4
-    return jnp.asarray(poly, jnp.float32), deficit
+    return (
+        jnp.asarray(poly, jnp.float32),
+        jnp.float32(scale),
+        float(deficit),
+    )
 
 
 def profile_poly_eval(profile, dist: Array):
     """Evaluate the polynomial bound form (the kernel's in-SMEM math,
     expressed in jnp for tests/diagnostics): per-coefficient Horner in
-    ``t = clamp(dist / keys[-1], 0, 1)``."""
-    t = jnp.minimum(dist / profile.keys[-1], 1.0)
+    ``t = dist / poly_scale``, with the pre-check DISABLED (bound = +inf,
+    every candidate passes to a full trace) beyond the fitted domain
+    (ADVICE r4 #2 — the poly is neither fitted nor validated there)."""
+    scale = (
+        profile.poly_scale
+        if profile.poly_scale is not None
+        else profile.keys[-1]
+    )
+    t_raw = dist / scale
+    t = jnp.minimum(t_raw, 1.0)
     outs = []
     for j in range(4):
         acc = profile.poly[j, POLY_DEGREE] * jnp.ones_like(t)
         for k in range(POLY_DEGREE - 1, -1, -1):
             acc = acc * t + profile.poly[j, k]
         outs.append(acc)
+    outs[0] = jnp.where(t_raw > 1.0, jnp.float32(1e9), outs[0])
     return tuple(outs)
 
 

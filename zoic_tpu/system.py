@@ -71,11 +71,19 @@ class PupilProfile:
     c2: Array    # f32[n]  cos(2 phi) coefficient
     c4: Array    # f32[n]  cos(4 phi) coefficient
     # Polynomial form of the same bound (r4, pupil.fit_profile_poly):
-    # [4, D+1] Horner coefficients in t = dist/keys[-1], rows = (c0, c1,
-    # c2, c4), uplifted so poly >= the per-key lerped bound everywhere —
-    # the fused kernel evaluates this in 4*(D+1) fmas instead of the
-    # 32-key select chain when the fit is tight (LensSystem.profile_poly).
+    # [4, D+1] Horner coefficients in t = dist/poly_scale, rows = (c0, c1,
+    # c2, c4), uplifted so poly >= the per-key lerped bound everywhere on
+    # the fitted domain — the fused kernel evaluates this in 4*(D+1) fmas
+    # instead of the 32-key select chain when the fit is tight
+    # (LensSystem.profile_poly).
     poly: Array = None  # f32[4, D+1]
+    # Fit-domain radius normalizer: the poly is fitted on
+    # t = dist / poly_scale in [0, 1] where poly_scale = min(film-corner
+    # radius, keys[-1]).  Film radii BEYOND poly_scale (only reachable via
+    # |sx| > 1 overscan callers) are outside the fitted/validated domain —
+    # the kernel disables the pre-check for such rays instead of
+    # evaluating the unfitted extrapolation (ADVICE r4 #2).
+    poly_scale: Array = None  # f32[]
 
 
 @jax.tree_util.register_dataclass
