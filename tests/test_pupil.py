@@ -124,13 +124,12 @@ def test_profile_precheck_soundness(name):
                 V3(px - fx, py - fy, jnp.zeros((n,)) - lens_p.thickness[0]),
             ).ok
         )
-        c0, c1, c2, c4 = pupil.profile_lookup(lens_p.profile, jnp.float32(r))
-        rho = np.hypot(np.asarray(lx), np.asarray(ly))
-        cphi = np.where(rho > 0, np.asarray(lx) / np.maximum(rho, 1e-9), 1.0)
-        t2 = 2 * cphi**2 - 1
-        bound = (float(c0) + float(c1) * cphi + float(c2) * t2
-                 + float(c4) * (2 * t2**2 - 1))
-        unsound = int((ok & (rho > bound)).sum())
+        # kind-dispatching bound test (harmonic or circle pair — the
+        # kernel's exact candidate math, pupil.precheck_pass)
+        passed = np.asarray(
+            pupil.precheck_pass(lens_p.profile, jnp.full((n,), r), lx, ly)
+        )
+        unsound = int((ok & ~passed).sum())
         # MC cover-tail budget: the bound's margins guard the UNOBSERVED
         # tail of the 50k-sample build; measured flip rate with the r3
         # margins is <1e-6 per accepted sample (PERF_NOTES), 1000x under
@@ -163,9 +162,14 @@ def test_profile_precheck_soundness_naive_offaxis(lens):
     )
     lens_n = zt.compile_camera(cfg).lens
     assert lens_n.profile is not None
-    assert float(jnp.max(jnp.abs(lens_n.profile.c1))) == 0.0
-    assert float(jnp.max(jnp.abs(lens_n.profile.c2))) == 0.0
-    assert float(jnp.max(jnp.abs(lens_n.profile.c4))) == 0.0
+    if lens_n.profile.kind == "circles":
+        # rotation-invariant circles = centered circles (a1 = a2 = 0)
+        assert float(jnp.max(jnp.abs(lens_n.profile.c0))) == 0.0  # a1
+        assert float(jnp.max(jnp.abs(lens_n.profile.c2))) == 0.0  # a2
+    else:
+        assert float(jnp.max(jnp.abs(lens_n.profile.c1))) == 0.0
+        assert float(jnp.max(jnp.abs(lens_n.profile.c2))) == 0.0
+        assert float(jnp.max(jnp.abs(lens_n.profile.c4))) == 0.0
 
     n = 20_000
     u = jax.random.uniform(jax.random.PRNGKey(77), (4, n), dtype=jnp.float32)
@@ -182,12 +186,8 @@ def test_profile_precheck_soundness_naive_offaxis(lens):
     ).ok
 
     dist = jnp.sqrt(fx * fx + fy * fy)
-    c0, c1, c2, c4 = pupil.profile_lookup(lens_n.profile, dist)
-    rho = jnp.sqrt(lx * lx + ly * ly)
-    cphi = lx / jnp.maximum(rho, 1e-9)
-    t2 = 2 * cphi * cphi - 1
-    bound = c0 + c1 * cphi + c2 * t2 + c4 * (2 * t2 * t2 - 1)
-    unsound = int(jnp.sum(ok & (rho > bound)))
+    passed = pupil.precheck_pass(lens_n.profile, dist, lx, ly)
+    unsound = int(jnp.sum(ok & ~passed))
     budget = max(2, int(0.0005 * int(jnp.sum(ok))))  # cover-tail class
     assert unsound <= budget, (
         f"{unsound} accepted samples outside the naive bound"
@@ -243,13 +243,23 @@ def test_profile_precheck_soundness_square_domain():
         )
 
 
-def test_profile_poly_dominates_chain():
-    """The polynomial bound form (r4, pupil.fit_profile_poly) must dominate
-    the per-key lerped bound for every film radius a real ray can have
-    (dist <= sensor_half*sqrt(2)) and every pupil azimuth: soundness of the
-    poly pre-check reduces to soundness of the chain it replaces (which the
-    MC soundness tests above hammer directly)."""
+def test_profile_poly_sound():
+    """Soundness of the polynomial bound form the kernel evaluates when
+    the gate is on.  Kind-aware (r5):
+
+    * harmonic: the poly must DOMINATE the per-key lerped chain at every
+      reachable film radius and azimuth (fit_profile_poly's analytic
+      uplift) — poly soundness reduces to the chain's, which the MC tests
+      above hammer directly;
+    * circles: the poly is fitted directly to the per-radius requirement
+      (build_precheck), so it is validated the same way the chain is —
+      MC: at film radii OFF the key grid (where neither chain keys nor
+      validation midpoints sit), accepted draws must pass the poly bound
+      up to the cover-tail budget."""
     import math
+
+    import zoic_tpu.trace as trace
+    from zoic_tpu.optics import V3
 
     cfg = zt.CameraConfig(
         lens_model=zt.LensModel.RAYTRACED,
@@ -262,19 +272,50 @@ def test_profile_poly_dominates_chain():
     assert lens.profile_poly, "headline profile should pass the poly gate"
 
     r_max = cfg.sensor_width * 0.5 * math.sqrt(2.0)
-    dist = jnp.linspace(0.0, r_max, 4097)
-    ch = pupil.profile_lookup(lens.profile, dist)
-    po = pupil.profile_poly_eval(lens.profile, dist)
-    phi = np.linspace(0.0, 2 * np.pi, 256, endpoint=False)
-    cphi = np.cos(phi)
-    t2 = 2 * cphi**2 - 1
-    basis = np.stack([np.ones_like(cphi), cphi, t2, 2 * t2**2 - 1])  # [4,P]
-    b_ch = np.stack([np.asarray(c) for c in ch]).T @ basis  # [N,P]
-    b_po = np.stack([np.asarray(c) for c in po]).T @ basis
-    # f32 Horner noise is covered by the fit's 1e-4 uplift pad
-    assert float((b_po - b_ch).min()) >= 0.0, (
-        f"poly bound under chain by {-float((b_po - b_ch).min()):.2e}"
-    )
+    if lens.profile.kind == "circles":
+        from zoic_tpu.sampling import concentric_disk_sample
+
+        n = 20_000
+        rng = np.random.default_rng(11)
+        # radii strictly between key/midpoint validation points, plus the
+        # exact domain edge
+        radii = list(rng.uniform(0.05, 0.95, 6) * r_max) + [r_max]
+        for i, r in enumerate(radii):
+            u = jax.random.uniform(jax.random.PRNGKey(500 + i), (2, n))
+            lx, ly = concentric_disk_sample(u[0], u[1])
+            fx = jnp.full((n,), np.float32(r))
+            fy = jnp.zeros((n,))
+            px, py = pupil.shape_sample(lens.lut, lx, ly, fx, fy)
+            oz = jnp.zeros((n,)) + lens.origin_shift
+            ok = np.asarray(
+                trace.trace_stack(
+                    lens, V3(fx, fy, oz),
+                    V3(px - fx, py - fy, jnp.zeros((n,)) - lens.thickness[0]),
+                ).ok
+            )
+            passed = np.asarray(
+                pupil.precheck_pass(lens.profile, fx, lx, ly, use_poly=True)
+            )
+            unsound = int((ok & ~passed).sum())
+            budget = max(2, int(0.0005 * ok.sum()))  # cover-tail class
+            assert unsound <= budget, (
+                f"circle poly r={r:.3f}: {unsound} accepted rejected"
+            )
+    else:
+        dist = jnp.linspace(0.0, r_max, 4097)
+        ch = [np.asarray(c, np.float64)
+              for c in pupil.profile_lookup(lens.profile, dist)]
+        po = [np.asarray(c, np.float64)
+              for c in pupil.profile_poly_eval(lens.profile, dist)]
+        phi = np.linspace(0.0, 2 * np.pi, 256, endpoint=False)
+        cphi = np.cos(phi)
+        t2 = 2 * cphi**2 - 1
+        basis = np.stack([np.ones_like(cphi), cphi, t2, 2 * t2**2 - 1])
+        b_ch = np.stack(ch).T @ basis  # [N,P]
+        b_po = np.stack(po).T @ basis
+        assert float((b_po - b_ch).min()) >= 0.0, (
+            f"poly bound under chain by {-float((b_po - b_ch).min()):.2e}"
+        )
 
 
 def test_profile_poly_gate_rejects_cliffs():
@@ -290,7 +331,50 @@ def test_profile_poly_gate_rejects_cliffs():
     lens = zt.compile_camera(cfg).lens
     assert lens.dead_frac >= 0.5
     assert not lens.profile_poly
-    poly, _scale, deficit = pupil.fit_profile_poly(
+    poly, _scale, deficit = pupil.fit_precheck_poly(
         lens.profile, r_max=cfg.sensor_width * 0.5 * 2**0.5
     )
     assert deficit > pupil.POLY_MAX_DEFICIT
+
+
+def test_circle_precheck_square_domain_soundness():
+    """SQUARE-domain circle-pair soundness (the image-bokeh pre-check's
+    candidate space): build_precheck(domain="square") must never reject a
+    square offset the trace would accept, including corner offsets a disk
+    fit never observes."""
+    import zoic_tpu.trace as trace
+    from zoic_tpu.optics import V3
+
+    cfg = zt.CameraConfig(
+        lens_model=zt.LensModel.RAYTRACED,
+        lens_data_path=zt.data.lens_path("double_gauss_f2.0"),
+        focal_length=5.0, fstop=2.0, focal_distance=100.0,
+        lut_bounds_samples=20_000,
+    )
+    lens_p = zt.compile_camera(cfg).lens
+    prof, _, _ = pupil.build_precheck(
+        lens_p, jax.random.PRNGKey(5), domain="square",
+        r_max=cfg.sensor_width * 0.5 * 2**0.5,
+    )
+
+    n = 20_000
+    for i, r in enumerate([0.0, 0.45, 0.9, 1.35, 1.8]):
+        u = jax.random.uniform(jax.random.PRNGKey(300 + i), (2, n))
+        lx = u[0] * 2.0 - 1.0
+        ly = u[1] * 2.0 - 1.0
+        fx = jnp.full((n,), r)
+        fy = jnp.zeros((n,))
+        px, py = pupil.shape_sample(lens_p.lut, lx, ly, fx, fy)
+        oz = jnp.zeros((n,)) + lens_p.origin_shift
+        ok = np.asarray(
+            trace.trace_stack(
+                lens_p, V3(fx, fy, oz),
+                V3(px - fx, py - fy, jnp.zeros((n,)) - lens_p.thickness[0]),
+            ).ok
+        )
+        passed = np.asarray(pupil.precheck_pass(prof, jnp.full((n,), r), lx, ly))
+        unsound = int((ok & ~passed).sum())
+        budget = max(2, int(0.0005 * ok.sum()))  # cover-tail class
+        assert unsound <= budget, (
+            f"square circles r={r}: {unsound} accepted outside bound"
+        )

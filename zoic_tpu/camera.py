@@ -150,24 +150,21 @@ def compile_camera(
             # zoic.cpp:441-485): the pre-check bound must be fitted and
             # validated over all of [-1,1]^2, not just the unit disk
             prof_domain = "square" if config.use_image else "disk"
-            profile, key_acc = pupil.build_profile(
-                lens, prof_key, domain=prof_domain
+            # fits BOTH bound forms (harmonic polar series + the r5
+            # 2-circle intersection cover) from one trace budget and
+            # keeps the tighter per lens (pupil.build_precheck)
+            r_max = config.sensor_width * 0.5 * math.sqrt(2.0)
+            # build_precheck also fits the polynomial bound form; the
+            # kernel uses it only when the fit is tight (smooth profiles
+            # — cliff-shaped dead regions keep the exact chain,
+            # pupil.POLY_MAX_DEFICIT)
+            profile, key_acc, deficit = pupil.build_precheck(
+                lens, prof_key, domain=prof_domain, r_max=r_max
             )
             # dead-film fraction drives the retry machine's compaction
             # regime (quantized to 1 decimal so same-shape lenses share
             # jit cache entries; see LensSystem.dead_frac)
-            r_max = config.sensor_width * 0.5 * math.sqrt(2.0)
             dead = pupil.dead_film_fraction(profile.keys, key_acc, r_max)
-            # polynomial bound form: fit the FINAL per-key bound; the
-            # kernel uses it only when the raw fit is tight (smooth
-            # profiles — cliff-shaped dead regions keep the exact chain,
-            # pupil.POLY_MAX_DEFICIT)
-            poly, poly_scale, deficit = pupil.fit_profile_poly(
-                profile, r_max=r_max
-            )
-            profile = dataclasses.replace(
-                profile, poly=poly, poly_scale=poly_scale
-            )
             lens = dataclasses.replace(
                 lens, profile=profile, dead_frac=round(dead, 1),
                 profile_domain=prof_domain,

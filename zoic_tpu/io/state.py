@@ -25,7 +25,7 @@ import numpy as np
 from ..config import CameraConfig
 from ..system import BokehImage, CameraState, LensSystem, PupilLUT, PupilProfile
 
-FORMAT_VERSION = 6  # v6: profile_domain + PupilProfile.poly (polynomial bound form)
+FORMAT_VERSION = 7  # v7: PupilProfile.poly_scale leaf + static kind (circle form)
 
 
 def _flatten(state: CameraState):
@@ -53,6 +53,11 @@ def _flatten(state: CameraState):
         ),
         "profile_poly": (
             state.lens.profile_poly if state.lens is not None else False
+        ),
+        "profile_kind": (
+            state.lens.profile.kind
+            if state.lens is not None and state.lens.profile is not None
+            else "harmonic"
         ),
         "bokeh_wh": (
             [state.bokeh.width, state.bokeh.height]
@@ -92,7 +97,12 @@ def _skeleton(static: dict) -> CameraState:
         PupilLUT(z, z, z, z, z, z, z) if static["has_lut"] else None
     )
     profile = (
-        PupilProfile(z, z, z, z, z, z) if static.get("has_profile") else None
+        PupilProfile(
+            z, z, z, z, z, z, z,
+            kind=static.get("profile_kind", "harmonic"),
+        )
+        if static.get("has_profile")
+        else None
     )
     lens = (
         LensSystem(

@@ -363,7 +363,8 @@ def _atan2(y, x):
 
 
 def _shaping_from_table(shap_ref, prof_ref, n_keys, spacing, inv_dmax,
-                        fx, fy, use_lut, use_profile, use_poly):
+                        fx, fy, use_lut, use_profile, use_poly,
+                        circles=False):
     """In-kernel LUT/profile lookup: the uniform-key bracketing + lerp of
     pupil.lut_lookup / pupil.profile_lookup, with the per-lane table gather
     as an n_keys-step select chain over SMEM scalars.  Runs once per tile —
@@ -416,7 +417,7 @@ def _shaping_from_table(shap_ref, prof_ref, n_keys, spacing, inv_dmax,
         out["pc0"], out["pc1"], out["pc2"], out["pc4"] = vals
     elif use_profile:
         # t normalizer is the poly's own fit-domain edge (poly_scale =
-        # min(film-corner radius, keys[-1]), pupil.fit_profile_poly); film
+        # min(film-corner radius, keys[-1]), pupil.fit_precheck_poly); film
         # radii beyond it (|sx| > 1 overscan callers) are outside the
         # fitted/validated domain, so the pre-check is DISABLED for those
         # rays (bound -> +inf: every candidate passes to a full trace)
@@ -429,7 +430,20 @@ def _shaping_from_table(shap_ref, prof_ref, n_keys, spacing, inv_dmax,
             for k in range(deg - 1, -1, -1):
                 acc = acc * t + prof_ref[j, k]
             out[name] = acc
-        out["pc0"] = jnp.where(t_raw > 1.0, jnp.float32(1e9), out["pc0"])
+        big = jnp.float32(1e9)
+        off = t_raw > 1.0
+        if circles:
+            # circle slots are (a1, q1, a2, q2): disable = q -> +inf (a
+            # must stay finite — a huge center would reject half the disk)
+            out["pc1"] = jnp.where(off, big, out["pc1"])
+            out["pc4"] = jnp.where(off, big, out["pc4"])
+        else:
+            out["pc0"] = jnp.where(off, big, out["pc0"])
+    if use_profile and circles:
+        # pre-double the circle centers: _bound_pass computes
+        # rho^2 - 2 a lx as one fma per circle (2 a arrives here)
+        out["pc0"] = out["pc0"] * 2.0
+        out["pc2"] = out["pc2"] * 2.0
     return out
 
 
@@ -688,11 +702,34 @@ def _run_compaction(st_f, st_i, n_f32, rows, max_total, region_round,
     jax.lax.while_loop(guard_cond, guard_body, jnp.int32(0))
 
 
+def _bound_pass(lx, ly, pcs, circles):
+    """Pre-check bound test for one candidate offset (the kernel's inner
+    ~10 VPU ops).  ``circles`` (PupilProfile.kind == "circles") tests the
+    2-circle intersection cover — centers arrive PRE-DOUBLED from
+    _shaping_from_table so each circle is 1 fma + 1 compare, no
+    rsqrt/trig; harmonic tests the polar cos-series bound."""
+    if circles:
+        a1d, q1, a2d, q2 = pcs
+        rr = lx * lx + ly * ly
+        return ((rr - a1d * lx) <= q1) & ((rr - a2d * lx) <= q2)
+    pc0, pc1, pc2, pc4 = pcs
+    rho2 = lx * lx + ly * ly
+    # one shared rsqrt gives both rho and cphi = lx/rho (the div form
+    # costs 1.8 cycles vs 1 for the mul; roofline r3)
+    r_inv = jax.lax.rsqrt(jnp.maximum(rho2, 1e-18))
+    rho = rho2 * r_inv
+    cphi = lx * r_inv
+    # Chebyshev: cos2 = 2c^2-1, cos4 = 2 cos2^2 - 1
+    t2 = 2.0 * cphi * cphi - 1.0
+    t4 = 2.0 * t2 * t2 - 1.0
+    return rho <= pc0 + pc1 * cphi + pc2 * t2 + pc4 * t4
+
+
 def _round_core(
     attempt, seed, max_total, use_profile,
     ids, pcs, ox, oy, oz, dx, dy, dz, ok_i, tries, tir_count,
     draws=None, k_draws=PRECHECK_DRAWS, first_draws=None, dual=False,
-    offset_draws=None,
+    offset_draws=None, circles=False,
 ):
     """One batched retry round (the body of zoic.cpp's resample loop,
     1879-1947) on arrays of any (h, 128) shape.
@@ -722,14 +759,12 @@ def _round_core(
         consumed = pending.astype(jnp.int32)
         merge = pending
     else:
-        # Profile pre-check: a unit-disk candidate with
-        # rho > c0 + c1 cos(phi) + c2 cos(2 phi) + c4 cos(4 phi)
-        # provably fails the trace (build_profile's conservative
-        # bound), so up to ``k_draws`` failed tries are consumed per
-        # round for ~40 VPU ops each instead of a full trace.  The draw
-        # sequence and per-try outcomes are exactly the reference's
-        # (PARITY.md).
-        pc0, pc1, pc2, pc4 = pcs
+        # Profile pre-check: a candidate outside the fitted support bound
+        # (harmonic polar series, or the r5 2-circle intersection cover —
+        # see _bound_pass) provably fails the trace, so up to ``k_draws``
+        # failed tries are consumed per round for ~30-40 VPU ops each
+        # instead of a full trace.  The draw sequence and per-try
+        # outcomes are exactly the reference's (PARITY.md).
         found = jnp.zeros_like(ok_i)
         consumed = jnp.zeros_like(ok_i)
         cand1 = jnp.zeros_like(ox)
@@ -764,18 +799,7 @@ def _round_core(
                 lx, ly = u1, u2
             else:
                 lx, ly = _concentric(u1, u2)
-            rho2 = lx * lx + ly * ly
-            # one shared rsqrt gives both rho and cphi = lx/rho (the
-            # div form costs 1.8 cycles vs 1 for the mul; roofline r3)
-            r_inv = jax.lax.rsqrt(jnp.maximum(rho2, 1e-18))
-            rho = rho2 * r_inv
-            cphi = lx * r_inv
-            # Chebyshev: cos2 = 2c^2-1, cos4 = 2 cos2^2 - 1
-            t2 = 2.0 * cphi * cphi - 1.0
-            t4 = 2.0 * t2 * t2 - 1.0
-            bound = pc0 + pc1 * cphi + pc2 * t2 + pc4 * t4
-            pass_j = rho <= bound
-            take = can & pass_j
+            take = can & _bound_pass(lx, ly, pcs, circles)
             # latch the WARPED candidate: attempt() takes (lx, ly)
             # directly, so the concentric warp is not recomputed for the
             # traced draw (bit-identical — same function of the same u's)
@@ -812,14 +836,7 @@ def _round_core(
                 u2 = _hash_uniform(ids, seed, ctr, 0x22222222)
                 consumed2 = consumed2 + can.astype(jnp.int32)
                 lx, ly = _concentric(u1, u2)
-                rho2 = lx * lx + ly * ly
-                r_inv = jax.lax.rsqrt(jnp.maximum(rho2, 1e-18))
-                rho = rho2 * r_inv
-                cphi = lx * r_inv
-                t2 = 2.0 * cphi * cphi - 1.0
-                t4 = 2.0 * t2 * t2 - 1.0
-                pass_j = rho <= pc0 + pc1 * cphi + pc2 * t2 + pc4 * t4
-                take = can & pass_j
+                take = can & _bound_pass(lx, ly, pcs, circles)
                 cand1b = jnp.where(take, lx, cand1b)
                 cand2b = jnp.where(take, ly, cand2b)
                 found2 = jnp.where(take, 1, found2)
@@ -930,6 +947,8 @@ def _raytraced_kernel(
     use_profile: bool,  # polar pupil pre-check (PupilProfile) available
     use_poly: bool,    # profile bound from prof_ref Horner coefficients
     #                    instead of the shap_ref select chain
+    circles: bool,     # PupilProfile.kind == "circles": the pre-check is
+    #                    the 2-circle intersection cover (_bound_pass)
     compact: bool,     # in-kernel straggler compaction (fold eras)
     presampled: bool,  # u refs are [-1,1] bokeh offsets; retry draws from
     #                    streamed planes (image-based bokeh mode)
@@ -1020,7 +1039,7 @@ def _raytraced_kernel(
     shaping = (
         _shaping_from_table(
             shap_ref, prof_ref, n_keys, spacing, scal_ref[7],
-            fx, fy, use_lut, use_profile, use_poly,
+            fx, fy, use_lut, use_profile, use_poly, circles,
         )
         if (use_lut or use_profile)
         else {}
@@ -1063,7 +1082,7 @@ def _raytraced_kernel(
         (ox, oy, oz, dx, dy, dz, ok_i, tries, tir_count) = _round_core(
             attempt, seed, max_total, True,
             ids, pcs, z, z, z, z, z, z, zi, tries, zi,
-            k_draws=r0_draws,
+            k_draws=r0_draws, circles=circles,
             first_draws=(u1_ref[:], u2_ref[:]),
             offset_draws=(
                 _plane_draws(
@@ -1125,7 +1144,7 @@ def _raytraced_kernel(
                 attempt, seed, max_total, use_profile,
                 ids, pcs, ox, oy, oz, dx, dy, dz, ok_i, tries, tir_count,
                 draws=draws, k_draws=sched_knobs[2],
-                offset_draws=offset_draws,
+                offset_draws=offset_draws, circles=circles,
             )
             return (rnd + 1,) + out
 
@@ -1221,6 +1240,7 @@ def _raytraced_kernel(
                 draws=draws,
                 k_draws=k_round,
                 offset_draws=offset_draws,
+                circles=circles,
                 # dual-trace the latency-bound mop-up regions only:
                 # regions at or below ``dual_h`` rows run on ~one vreg,
                 # where the second independent trace chain is nearly
@@ -1875,9 +1895,14 @@ def raytraced_fused(
             precheck_draws = PRECHECK_DRAWS
         else:
             precheck_draws = 13 if lens.dead_frac >= 0.6 else PRECHECK_DRAWS
+    circles = bool(
+        use_profile
+        and lens.profile is not None
+        and getattr(lens.profile, "kind", "harmonic") == "circles"
+    )
     kernel = functools.partial(
         _raytraced_kernel, n_elems, n_keys, max_total, use_lut, use_profile,
-        use_poly, compact, presampled, dead_heavy,
+        use_poly, circles, compact, presampled, dead_heavy,
         (lens.aperture_element if lens.iris_identity else -1),
         lens.elem_flags if len(lens.elem_flags) == n_elems else (),
         (era3_h, era3_rounds, precheck_draws, era3_far_every, bulk_draws,

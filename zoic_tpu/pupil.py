@@ -26,6 +26,7 @@ reference.  Do not optimize the cover.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Tuple
 
 import jax
@@ -544,14 +545,447 @@ def profile_poly_eval(profile, dist: Array):
     )
     t_raw = dist / scale
     t = jnp.minimum(t_raw, 1.0)
+    deg = profile.poly.shape[1] - 1
     outs = []
     for j in range(4):
-        acc = profile.poly[j, POLY_DEGREE] * jnp.ones_like(t)
-        for k in range(POLY_DEGREE - 1, -1, -1):
+        acc = profile.poly[j, deg] * jnp.ones_like(t)
+        for k in range(deg - 1, -1, -1):
             acc = acc * t + profile.poly[j, k]
         outs.append(acc)
-    outs[0] = jnp.where(t_raw > 1.0, jnp.float32(1e9), outs[0])
+    # beyond-domain disable: make every candidate pass.  Harmonic: the
+    # constant term -> +inf.  Circles: the q slots -> +inf (the a slots
+    # must stay finite — a huge center would REJECT half the disk).
+    off = t_raw > 1.0
+    big = jnp.float32(1e9)
+    if getattr(profile, "kind", "harmonic") == "circles":
+        outs[1] = jnp.where(off, big, outs[1])
+        outs[3] = jnp.where(off, big, outs[3])
+    else:
+        outs[0] = jnp.where(off, big, outs[0])
     return tuple(outs)
+
+
+@functools.partial(jax.jit, static_argnames=("n_samples", "domain"))
+def _cover_trace(lens, key, radii, n_samples: int, domain: str):
+    """Trace ``n_samples`` cover candidates per film radius through the
+    stack under the ACTIVE sampling cover (LUT shaping when present, else
+    naive first-element targeting).  Returns unit-domain offsets
+    ``(lx, ly)`` and the per-candidate acceptance mask ``ok`` — the raw
+    material every pre-check bound is fitted/validated on."""
+    u = jax.random.uniform(key, (2, radii.shape[0], n_samples), dtype=jnp.float32)
+    if domain == "square":
+        lx = u[0] * 2.0 - 1.0
+        ly = u[1] * 2.0 - 1.0
+    else:
+        rho = jnp.sqrt(u[0])
+        phi = (u[1] * 2.0 - 1.0) * jnp.pi
+        lx = rho * jnp.cos(phi)
+        ly = rho * jnp.sin(phi)
+    fx = jnp.broadcast_to(radii[:, None], lx.shape)
+    if lens.lut is not None:
+        ms, trn = lut_lookup(lens.lut, fx)
+        px = lx * ms + trn
+        py = ly * ms
+    else:
+        px = lx * lens.aperture[0]
+        py = ly * lens.aperture[0]
+    oz = jnp.zeros_like(fx) + lens.origin_shift
+    ok = trace.trace_stack(
+        lens,
+        V3(fx, jnp.zeros_like(fx), oz),
+        V3(px - fx, py, jnp.zeros_like(fx) - lens.thickness[0]),
+    ).ok
+    return lx, ly, ok
+
+
+# Circle-cover fit knobs (build_circles).  Margins mirror the harmonic
+# fit's measured (+0.005, x1.01) guard (build_profile; PERF_NOTES r3).
+_CIRCLE_CENTERS = 241       # x-axis center grid over [-3, 3]
+_CIRCLE_SEL_SAMPLES = 12_500  # subsample for the pair-selection pass
+# Circle-poly fit degree: the centers accelerate toward the film corner
+# (cat-eye), needing two extra degrees over the harmonic form's 6; the
+# kernel cost is 8 more fma per ray (once — film radius is retry-
+# invariant), vs the ~0.365 ms/M select chain the poly replaces.
+CIRCLE_POLY_DEGREE = 8
+
+
+def _fit_circles_np(lxn, lyn, okn):
+    """Per-key 2-circle intersection cover of the accepted support
+    (numpy, host side).  For each key, picks x-axis centers ``(a1 <= 0,
+    a2 >= 0)`` minimizing the estimated candidate pass rate, with radii
+    covering EVERY accepted sample plus the (x1.01, +0.005) margin.
+    Returns (a1, q1, a2, q2) arrays with ``q_j = r_j^2 - a_j^2``; keys
+    with no accepted samples get the reject-all circle (a=0, q=-1) — the
+    dead-key pre-rejection that lets dead-heavy lenses burn their retry
+    budget without tracing."""
+    import numpy as np
+
+    n_keys, n_s = okn.shape
+    cand = np.linspace(-3.0, 3.0, _CIRCLE_CENTERS)
+    negi = np.where(cand <= 0.0)[0]
+    posi = np.where(cand >= 0.0)[0]
+    sel = slice(None, None, max(1, n_s // _CIRCLE_SEL_SAMPLES))
+    a1 = np.zeros(n_keys)
+    q1 = np.full(n_keys, -1.0)
+    a2 = np.zeros(n_keys)
+    q2 = np.full(n_keys, -1.0)
+    for k in range(n_keys):
+        m = okn[k]
+        if not m.any():
+            continue  # reject-all
+        px = lxn[k][m]
+        py = lyn[k][m]
+        # covering radius per candidate center, over ALL accepted samples
+        d2 = (px[:, None] - cand[None, :]) ** 2 + (py**2)[:, None]
+        rk = np.sqrt(d2.max(0)) * 1.01 + 0.005
+        # pair selection on a subsample of ALL candidates (soundness does
+        # not depend on this step — only the radii above bound anything)
+        sx = lxn[k][sel]
+        sy = lyn[k][sel]
+        ds = (sx[:, None] - cand[None, :]) ** 2 + (sy**2)[:, None]
+        inside = (ds <= (rk[None, :] ** 2)).astype(np.float32)
+        joint = inside[:, negi].T @ inside[:, posi]  # [Nn, Np] pass counts
+        flat = int(joint.argmin())
+        bi, bj = negi[flat // posi.size], posi[flat % posi.size]
+        a1[k], a2[k] = cand[bi], cand[bj]
+        q1[k] = rk[bi] ** 2 - a1[k] ** 2
+        q2[k] = rk[bj] ** 2 - a2[k] ** 2
+    return a1, q1, a2, q2
+
+
+def _circle_viol(a1, q1, a2, q2, lxn, lyn, okn):
+    """Per-key q loosening needed so every accepted sample passes BOTH
+    circles: max over accepted of (rho^2 - 2 a_j lx - q_j), per circle."""
+    import numpy as np
+
+    rr = lxn * lxn + lyn * lyn
+    v1 = np.where(okn, rr - 2.0 * a1[:, None] * lxn - q1[:, None], -np.inf)
+    v2 = np.where(okn, rr - 2.0 * a2[:, None] * lxn - q2[:, None], -np.inf)
+    return (
+        np.maximum(v1.max(1), 0.0),
+        np.maximum(v2.max(1), 0.0),
+    )
+
+
+def build_precheck(
+    lens: LensSystem,
+    key: Array,
+    n_samples: int = 50_000,
+    domain: str = "disk",
+    r_max: float = None,
+):
+    """Build the pupil pre-check bound, fitting BOTH forms from one shared
+    trace budget and returning the tighter (smaller film-weighted
+    E[bound-pass / accept] on the held-out set):
+
+    * harmonic polar bound (the r2-r4 form, :func:`build_profile` math);
+    * 2-circle intersection cover (r5): the cat-eye support IS an
+      intersection of projected aperture circles, so two x-axis circles
+      track it with ~4x less slack on the double-gauss (E 1.29 -> ~1.08)
+      and a cheaper per-candidate test (2 fma + 2 cmp, no rsqrt/trig).
+
+    Both forms share the fit methodology of :func:`build_profile`: fit on
+    ``n_samples`` cover draws per key with the measured (x1.01, +0.005)
+    margin, then loosen by any violation observed on an INDEPENDENT
+    held-out set — at the keys AND (new in r5) at key midpoints, where the
+    kernel evaluates the lerped chain (between-key soundness was
+    previously implicit).  Residual risk is the MC tail beyond both sets,
+    the same class as the reference's bare x1.05 LUT margin
+    (zoic.cpp:1463), budgeted <= 0.2% (PARITY.md).
+
+    Returns ``(PupilProfile(kind=..., poly filled when fitted),
+    key_acceptance, poly_deficit)`` — ``poly_deficit`` is the poly form's
+    tightness metric (rho units; inf when no poly could be fitted), gated
+    by the caller at :data:`POLY_MAX_DEFICIT`.
+    """
+    import numpy as np
+
+    from .system import PupilProfile
+
+    lut = lens.lut
+    n_keys = lut.keys.shape[0] if lut is not None else 32
+    keys = (
+        lut.keys
+        if lut is not None
+        else jnp.arange(n_keys, dtype=jnp.float32) * jnp.float32(FILM_WIDTH / 32)
+    )
+    keys_np = np.asarray(keys, np.float64)
+    spacing = float(keys_np[1] - keys_np[0])
+
+    # --- fit set + held-out set at the keys, midpoint held-out between --
+    lx, ly, ok = _cover_trace(lens, key, keys, n_samples, domain)
+    lxh, lyh, okh = _cover_trace(
+        lens, jax.random.fold_in(key, 1), keys, n_samples, domain
+    )
+    mids = jnp.asarray(keys_np[:-1] + spacing * 0.5, jnp.float32)
+    lxm, lym, okm = _cover_trace(
+        lens, jax.random.fold_in(key, 2), mids, max(n_samples // 2, 1), domain
+    )
+    lxn, lyn, okn = (np.asarray(v) for v in (lx, ly, ok))
+    lxhn, lyhn, okhn = (np.asarray(v) for v in (lxh, lyh, okh))
+    lxmn, lymn, okmn = (np.asarray(v) for v in (lxm, lym, okm))
+    key_acceptance = jnp.mean(ok.astype(jnp.float32), axis=1)
+
+    rhon = np.sqrt(lxn * lxn + lyn * lyn)
+    phin = np.arctan2(lyn, lxn)
+
+    # --- harmonic fit (build_profile math, numpy f64) -------------------
+    n_angles = 16
+    bin_idx = np.clip(
+        ((phin + np.pi) / (2 * np.pi) * n_angles).astype(np.int64), 0, n_angles - 1
+    )
+    rho_max = np.zeros((n_keys, n_angles))
+    for k in range(n_keys):
+        np.maximum.at(
+            rho_max[k], bin_idx[k][okn[k]], rhon[k][okn[k]]
+        )
+    centers = (np.arange(n_angles) + 0.5) / n_angles * 2 * np.pi - np.pi
+    basis = np.stack(
+        [np.ones_like(centers), np.cos(centers), np.cos(2 * centers),
+         np.cos(4 * centers)], -1
+    )
+    if lut is not None:
+        coef, *_ = np.linalg.lstsq(basis, rho_max.T, rcond=None)  # [4, K]
+        fit = basis @ coef
+        excess = np.maximum((rho_max.T - fit).max(0), 0.0)
+        hc0 = (coef[0] + excess + 0.005) * 1.01
+        hc1, hc2, hc4 = coef[1] * 1.01, coef[2] * 1.01, coef[3] * 1.01
+    else:
+        # naive cover: support rotates with film azimuth (no R(theta) in
+        # the cover) — emit the rotation-invariant circumradius bound
+        hc0 = (rho_max.max(1) + 0.005) * 1.01
+        hc1 = hc2 = hc4 = np.zeros(n_keys)
+
+    def _harm_viol(radii_idx_pairs, lx_s, ly_s, ok_s):
+        rho_s = np.sqrt(lx_s * lx_s + ly_s * ly_s)
+        phi_s = np.arctan2(ly_s, lx_s)
+        out = np.zeros(n_keys)
+        for row, (i_a, i_b, w_b) in enumerate(radii_idx_pairs):
+            b = (
+                (hc0[i_a] * (1 - w_b) + hc0[i_b] * w_b)
+                + (hc1[i_a] * (1 - w_b) + hc1[i_b] * w_b) * np.cos(phi_s[row])
+                + (hc2[i_a] * (1 - w_b) + hc2[i_b] * w_b) * np.cos(2 * phi_s[row])
+                + (hc4[i_a] * (1 - w_b) + hc4[i_b] * w_b) * np.cos(4 * phi_s[row])
+            )
+            v = np.where(ok_s[row], rho_s[row] - b, -np.inf).max()
+            if v > 0:
+                out[i_a] = max(out[i_a], v)
+                out[i_b] = max(out[i_b], v)
+        return out
+
+    # held-out at keys, then midpoints (lerped chain = kernel math)
+    hc0 = hc0 + _harm_viol([(k, k, 0.0) for k in range(n_keys)], lxhn, lyhn, okhn)
+    hc0 = hc0 + _harm_viol(
+        [(k, k + 1, 0.5) for k in range(n_keys - 1)], lxmn, lymn, okmn
+    )
+
+    # --- circle fit ------------------------------------------------------
+    a1, q1, a2, q2 = _fit_circles_np(lxn, lyn, okn)
+    if lut is None:
+        # rotation-invariant for the naive cover (see harmonic note)
+        r_circ = rho_max.max(1) * 1.01 + 0.005
+        a1 = a2 = np.zeros(n_keys)
+        q1 = q2 = np.where(okn.any(1), r_circ**2, -1.0)
+    else:
+        # Smooth the selected center staircases (the argmin is quantized
+        # to the 0.025 center grid) with the SAME degree-POLY_DEGREE
+        # polynomial family the poly bound form fits — the chain and its
+        # poly then agree to lerp error, keeping fit_circle_poly's
+        # soundness uplift (and hence the poly form's slack) tiny.  Radii
+        # are recomputed at the moved centers over ALL accepted samples,
+        # so soundness is unaffected by the smoothing.
+        rm_fit = min(float(r_max), float(keys_np[-1])) if r_max else float(
+            keys_np[-1]
+        )
+        live = okn.any(1)
+        tt = keys_np / rm_fit
+        m = (keys_np <= rm_fit) & live
+        if m.sum() >= 3:
+            deg = min(POLY_DEGREE, int(m.sum()) - 1)
+            vv = tt[m, None] ** np.arange(deg + 1)[None, :]
+            for a in (a1, a2):
+                co, *_ = np.linalg.lstsq(vv, a[m], rcond=None)
+                a[m] = vv @ co
+        for k in np.where(live)[0]:
+            px, py = lxn[k][okn[k]], lyn[k][okn[k]]
+            r1k = np.sqrt(((px - a1[k]) ** 2 + py**2).max()) * 1.01 + 0.005
+            r2k = np.sqrt(((px - a2[k]) ** 2 + py**2).max()) * 1.01 + 0.005
+            q1[k] = r1k**2 - a1[k] ** 2
+            q2[k] = r2k**2 - a2[k] ** 2
+    v1, v2 = _circle_viol(a1, q1, a2, q2, lxhn, lyhn, okhn)
+    q1, q2 = q1 + v1, q2 + v2
+    # midpoints: the kernel lerps (a, q); loosen BOTH bracketing keys
+    a1m = (a1[:-1] + a1[1:]) * 0.5
+    a2m = (a2[:-1] + a2[1:]) * 0.5
+    q1m = (q1[:-1] + q1[1:]) * 0.5
+    q2m = (q2[:-1] + q2[1:]) * 0.5
+    v1m, v2m = _circle_viol(a1m, q1m, a2m, q2m, lxmn, lymn, okmn)
+    # raising BOTH bracketing keys' q by >= the interval's violation
+    # raises the lerped midpoint by >= it; a key shared by two intervals
+    # takes the larger requirement
+    for v, q in ((v1m, q1), (v2m, q2)):
+        u = np.zeros_like(q)
+        u[:-1] = v
+        u[1:] = np.maximum(u[1:], v)
+        q += u
+
+    # --- pick the tighter form (film-weighted E proxy on held-out) ------
+    acc_h = okhn.mean(1)
+    rrh = lxhn * lxhn + lyhn * lyhn
+    phih = np.arctan2(lyhn, lxhn)
+    rhoh = np.sqrt(rrh)
+    pass_harm = (
+        rhoh
+        <= hc0[:, None]
+        + hc1[:, None] * np.cos(phih)
+        + hc2[:, None] * np.cos(2 * phih)
+        + hc4[:, None] * np.cos(4 * phih)
+    ).mean(1)
+    pass_circ = (
+        ((rrh - 2 * a1[:, None] * lxhn) <= q1[:, None])
+        & ((rrh - 2 * a2[:, None] * lxhn) <= q2[:, None])
+    ).mean(1)
+    rm = float(r_max) if r_max is not None else float(keys_np[-1])
+    w = np.where(keys_np <= rm, np.maximum(keys_np, keys_np[1]), 0.0)
+    live = (acc_h > 1e-6) & (w > 0)
+    if live.any():
+        e_h = float((w[live] * (pass_harm[live] / acc_h[live])).sum() / w[live].sum())
+        e_c = float((w[live] * (pass_circ[live] / acc_h[live])).sum() / w[live].sum())
+    else:
+        e_h = e_c = 1.0
+    kind = "circles" if e_c <= e_h else "harmonic"
+    import logging
+
+    logging.getLogger("zoic").info(
+        "[ZOIC] pupil pre-check: E[pass/accept] harmonic %.3f, circles %.3f"
+        " -> %s", e_h, e_c, kind,
+    )
+    chains = (a1, q1, a2, q2) if kind == "circles" else (hc0, hc1, hc2, hc4)
+    prof = PupilProfile(
+        keys=keys,
+        c0=jnp.asarray(chains[0], jnp.float32),
+        c1=jnp.asarray(chains[1], jnp.float32),
+        c2=jnp.asarray(chains[2], jnp.float32),
+        c4=jnp.asarray(chains[3], jnp.float32),
+        poly=jnp.zeros((4, POLY_DEGREE + 1), jnp.float32),
+        poly_scale=keys[-1],
+        kind=kind,
+    )
+
+    # --- polynomial bound form ------------------------------------------
+    # Harmonic: fit to the validated chain with the ANALYTIC domination
+    # uplift (fit_profile_poly) — poly soundness reduces to chain
+    # soundness.  Circles: the chain's per-key covering radii carry MC
+    # max-statistic jitter no low-degree poly can dominate tightly
+    # (measured 0.12 rho of forced uplift on the double-gauss), so the
+    # circle poly is fitted DIRECTLY to the per-radius requirement against
+    # its own smooth centers and validated on the same fit + held-out +
+    # midpoint sets as the chain: its guarantee is the same
+    # MC-at-the-validated-radii class as the chain itself (between
+    # validated radii both rest on support continuity — the chain's lerp
+    # is only ever CHECKED at the midpoints; PARITY.md cover-tail class).
+    deficit = float("inf")
+    if r_max is not None:
+        if kind == "harmonic":
+            poly, poly_scale, deficit = fit_profile_poly(prof, r_max=r_max)
+            prof = dataclasses.replace(prof, poly=poly, poly_scale=poly_scale)
+        else:
+            rm_fit = min(float(r_max), float(keys_np[-1]))
+            msk = keys_np <= rm_fit + 1e-9
+            live_fit = okn.any(1)
+            mid_msk = (keys_np[:-1] + spacing * 0.5) <= rm_fit + 1e-9
+            if bool(live_fit[msk].all()) and int(msk.sum()) >= (
+                CIRCLE_POLY_DEGREE + 2
+            ):
+                tk = keys_np[msk] / rm_fit
+                tm = (keys_np[:-1] + spacing * 0.5)[mid_msk] / rm_fit
+                vd = np.arange(CIRCLE_POLY_DEGREE + 1)
+                vk = tk[:, None] ** vd[None, :]
+                vm = tm[:, None] ** vd[None, :]
+                vall = np.concatenate([vk, vm], 0)
+                poly = np.zeros((4, CIRCLE_POLY_DEGREE + 1))
+                deficit = 0.0
+                for ci, (a_ch, _q_ch) in enumerate(((a1, q1), (a2, q2))):
+                    ja, jq = 2 * ci, 2 * ci + 1
+                    # center poly: fit the (smoothed) per-key centers
+                    ca, *_ = np.linalg.lstsq(vk, a_ch[msk], rcond=None)
+                    ak, am = vk @ ca, vm @ ca
+                    a_all = np.concatenate([ak, am])
+                    # per-radius requirement against the POLY centers,
+                    # margined on the radius like the chain (x1.01, +5e-3)
+                    req = np.empty(a_all.size)
+                    for row, k in enumerate(np.where(msk)[0]):
+                        sx = np.concatenate([lxn[k][okn[k]], lxhn[k][okhn[k]]])
+                        sy = np.concatenate([lyn[k][okn[k]], lyhn[k][okhn[k]]])
+                        req[row] = (
+                            (sx - ak[row]) ** 2 + sy**2
+                        ).max() if sx.size else 0.0
+                    n_k = int(msk.sum())
+                    for row, k in enumerate(np.where(mid_msk)[0]):
+                        sx, sy = lxmn[k][okmn[k]], lymn[k][okmn[k]]
+                        req[n_k + row] = (
+                            (sx - am[row]) ** 2 + sy**2
+                        ).max() if sx.size else 0.0
+                    r_m = np.sqrt(req) * 1.01 + 0.005
+                    q_req = r_m**2 - a_all**2
+                    cq, *_ = np.linalg.lstsq(vall, q_req, rcond=None)
+                    fitq = vall @ cq
+                    cq[0] += np.maximum((q_req - fitq).max(), 0.0) + 1e-4
+                    poly[ja], poly[jq] = ca, cq
+                    # tightness: radius inflation of the poly circle over
+                    # the margined requirement, at the validated radii
+                    r_poly = np.sqrt(
+                        np.maximum(vall @ cq + a_all**2, 0.0)
+                    )
+                    deficit = max(deficit, float((r_poly - r_m).max()))
+                prof = dataclasses.replace(
+                    prof,
+                    poly=jnp.asarray(poly, jnp.float32),
+                    poly_scale=jnp.float32(rm_fit),
+                )
+    return prof, key_acceptance, deficit
+
+
+def fit_precheck_poly(profile, r_max: float = None):
+    """Kind-dispatching poly fit for a bare profile: harmonic bounds use
+    :func:`fit_profile_poly` (analytic domination uplift).  Circle-pair
+    bounds have NO standalone refit — their poly is fitted directly to
+    the per-radius requirement inside :func:`build_precheck` (it needs
+    the cover sample sets) — so this returns an infinite deficit (poly
+    form unavailable / gated off)."""
+    if getattr(profile, "kind", "harmonic") == "circles":
+        keys = profile.keys
+        scale = keys[-1] if r_max is None else jnp.minimum(
+            jnp.float32(r_max), keys[-1]
+        )
+        D = CIRCLE_POLY_DEGREE
+        return (
+            jnp.zeros((4, D + 1), jnp.float32), jnp.float32(scale),
+            float("inf"),
+        )
+    return fit_profile_poly(profile, r_max=r_max)
+
+
+
+def precheck_pass(profile, dist, lx, ly, use_poly: bool = False):
+    """Does the pre-check bound PASS candidate offset (lx, ly) at film
+    radius ``dist``?  Kind- and form-dispatching jnp evaluator (the
+    kernel's math, for tests/diagnostics)."""
+    vals = (
+        profile_poly_eval(profile, dist)
+        if use_poly
+        else profile_lookup(profile, dist)
+    )
+    if getattr(profile, "kind", "harmonic") == "circles":
+        a1, q1, a2, q2 = vals
+        rr = lx * lx + ly * ly
+        return ((rr - 2.0 * a1 * lx) <= q1) & ((rr - 2.0 * a2 * lx) <= q2)
+    c0, c1, c2, c4 = vals
+    rho = jnp.sqrt(lx * lx + ly * ly)
+    phi = jnp.arctan2(ly, lx)
+    return rho <= (
+        c0 + c1 * jnp.cos(phi) + c2 * jnp.cos(2.0 * phi) + c4 * jnp.cos(4.0 * phi)
+    )
 
 
 def profile_lookup(profile, dist: Array):

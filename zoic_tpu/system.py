@@ -47,29 +47,40 @@ class PupilLUT:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class PupilProfile:
-    """Polar pupil-support profile per film radius (no reference
+    """Pupil-support outer bound per film radius (no reference
     equivalent — a TPU-native retry accelerator, see
-    :func:`zoic_tpu.pupil.build_profile`).
+    :func:`zoic_tpu.pupil.build_precheck`).
 
-    For each LUT radius key, coefficients of a conservative outer bound of
-    the accepted-sample support in unit-disk space:
-    ``rho_max(phi) ~ c0 + c1 cos(phi) + c2 cos(2 phi) + c4 cos(4 phi)``
-    (even symmetry: the optical system is rotationally symmetric; shaping
-    rotates after.  The harmonic set {0,1,2,4} is measured: cos3 adds
-    nothing on the lens library while cos4 cuts E[traced attempts]
-    1.52 -> 1.32 on the double-gauss — the support is nearly symmetric
-    under phi -> phi+pi apart from the decentering cos1 term).
-    A candidate with rho > rho_max(phi) provably fails the trace (up to the
-    same Monte-Carlo cover-tail risk as the reference's own x1.05 LUT
-    margin, zoic.cpp:1463), so failed tries can be consumed without
-    tracing.
+    Two bound forms share this container, selected by ``kind``:
+
+    * ``kind == "harmonic"`` (:func:`zoic_tpu.pupil.build_profile`): a
+      polar bound ``rho_max(phi) ~ c0 + c1 cos(phi) + c2 cos(2 phi)
+      + c4 cos(4 phi)`` per key (even symmetry: the optical system is
+      rotationally symmetric; shaping rotates after.  The harmonic set
+      {0,1,2,4} is measured: cos3 adds nothing on the lens library while
+      cos4 cuts E[traced attempts] 1.52 -> 1.32 on the double-gauss).
+    * ``kind == "circles"`` (:func:`zoic_tpu.pupil.build_circles`): the
+      support is covered by the INTERSECTION of two x-axis-centered
+      circles — the exact shape of a cat-eye pupil (each limiting
+      aperture projects to a circle decentered along the film axis).  The
+      four chains then hold ``(a1, q1, a2, q2)`` in the (c0, c1, c2, c4)
+      slots, where circle j accepts offsets with
+      ``lx^2 + ly^2 - 2 a_j lx <= q_j`` (``q_j = r_j^2 - a_j^2``) — 2 fma
+      + 2 compares per candidate, no rsqrt/trig, and measured ~4x less
+      cover slack than the harmonic fit on the double-gauss
+      (E[traced/accept] 1.29 -> ~1.08, PERF_NOTES r5).
+
+    In both forms, a candidate outside the bound provably fails the trace
+    (up to the same Monte-Carlo cover-tail risk as the reference's own
+    x1.05 LUT margin, zoic.cpp:1463), so failed tries can be consumed
+    without tracing.
     """
 
     keys: Array  # f32[n] film-radius keys (same layout as PupilLUT.keys)
-    c0: Array    # f32[n]
-    c1: Array    # f32[n]  cos(phi) coefficient
-    c2: Array    # f32[n]  cos(2 phi) coefficient
-    c4: Array    # f32[n]  cos(4 phi) coefficient
+    c0: Array    # f32[n]  harmonic c0           | circles a1
+    c1: Array    # f32[n]  cos(phi) coefficient  | circles q1
+    c2: Array    # f32[n]  cos(2 phi) coefficient| circles a2
+    c4: Array    # f32[n]  cos(4 phi) coefficient| circles q2
     # Polynomial form of the same bound (r4, pupil.fit_profile_poly):
     # [4, D+1] Horner coefficients in t = dist/poly_scale, rows = (c0, c1,
     # c2, c4), uplifted so poly >= the per-key lerped bound everywhere on
@@ -84,6 +95,9 @@ class PupilProfile:
     # the kernel disables the pre-check for such rays instead of
     # evaluating the unfitted extrapolation (ADVICE r4 #2).
     poly_scale: Array = None  # f32[]
+    # Bound form ("harmonic" | "circles", see class docstring).  Static:
+    # the fused kernel compiles different candidate math per kind.
+    kind: str = dataclasses.field(metadata=dict(static=True), default="harmonic")
 
 
 @jax.tree_util.register_dataclass
