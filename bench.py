@@ -205,7 +205,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=1 << 22)
     ap.add_argument("--iters", type=int, default=7)
-    ap.add_argument("--inner", type=int, default=16)
+    # inner=32 (128M rays / launch): the axon relay's fixed per-launch
+    # round-trip does not pipeline across dispatched programs, so 16
+    # generations/launch still paid ~4.5% of the headline to launch gaps
+    # (measured r5: inner 16/32/64 -> 965/1008/998M).  A renderer's frame
+    # loop batches at least this much; methodology otherwise unchanged
+    # (fresh per-generation draws, burst timing, one scalar drain).
+    ap.add_argument("--inner", type=int, default=32)
     ap.add_argument("--random-order", action="store_true",
                     help="shuffled sample order instead of raster order")
     ap.add_argument("--mesh", action="store_true",

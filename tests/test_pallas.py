@@ -280,3 +280,67 @@ def test_profile_poly_matches_chain(samples):
     np.testing.assert_allclose(
         np.asarray(d1)[acc], np.asarray(d2)[acc], atol=1e-5, rtol=0
     )
+
+
+def test_dead_key_short_circuit_matches_scan():
+    """Round-0 dead-key short-circuit A/B (r5): on a lens with
+    provably-all-rejecting profile keys (fisheye: ~60% of the film is
+    vignetted by design; pupil.build_precheck emits c0 = -1 at keys with
+    no accepted cover sample), burning the whole budget in O(1) must be
+    BIT-identical to running the pre-check scan — the short-circuit only
+    skips draws the per-ray interpolated bound would reject one by one,
+    and per-ray PRNG counters mean no other ray's stream shifts."""
+    from zoic_tpu.ops import trace_kernel
+
+    cfg = _cfg(
+        "pallas", lens="fisheye_muller_f4.0", focal_length=1.0,
+        fstop=4.0, max_tries=5,
+    )
+    state = zt.compile_camera(cfg)
+    lens = state.lens
+    prof = lens.profile
+    assert prof.kind == "harmonic"
+    bmax = np.asarray(prof.c0) + np.abs(np.asarray(prof.c1)) + np.abs(
+        np.asarray(prof.c2)
+    ) + np.abs(np.asarray(prof.c4))
+    assert (bmax < 0).any(), "fisheye must have reject-all (dead) keys"
+
+    rng = np.random.default_rng(11)
+    n = 2048
+    sx, sy = (
+        jnp.asarray(rng.uniform(-1, 1, n).astype(np.float32))
+        for _ in range(2)
+    )
+    u, v = (
+        jnp.asarray(rng.uniform(0, 1, n).astype(np.float32))
+        for _ in range(2)
+    )
+
+    def run():
+        return [
+            np.asarray(a)
+            for a in trace_kernel.raytraced_fused(
+                lens, sx, sy, u, v, state.sensor_width, jnp.int32(7),
+                max_tries=5, use_lut=True, use_profile=True,
+                interpret=True,
+            )
+        ]
+
+    fast = run()
+    orig = trace_kernel._bound_dead
+    trace_kernel.raytraced_fused.clear_cache()
+    try:
+        # disable the short-circuit: every dead ray goes through the
+        # full pre-check scan instead
+        trace_kernel._bound_dead = lambda pcs, circles: jnp.zeros(
+            pcs[0].shape, jnp.bool_
+        )
+        slow = run()
+    finally:
+        trace_kernel._bound_dead = orig
+        trace_kernel.raytraced_fused.clear_cache()
+
+    # a real fraction of rays must actually take the O(1) path
+    assert (fast[2] == 6).mean() > 0.3  # tries == max_total, vignetted
+    for a, b, name in zip(fast, slow, ("origin", "dir", "tries", "tir")):
+        np.testing.assert_array_equal(a, b, err_msg=name)

@@ -208,7 +208,15 @@ def _create_rays_pallas(
             # cuts the dominant per-generation bokeh.sample volume from
             # (1+P)*B to (1+P/4)*B draws (the CDF inversion was ~70% of
             # the raytraced-bokeh generation cost, PERF_NOTES r3)
-            bp = min(b, max(1 << 16, b // 4))
+            # eighth-batch planes (r5, was quarter): expected retry-draw
+            # consumption is ~0.5/ray (attempts/ray 1.46) so P * b/8 = b/2
+            # plane draws still oversupply ~2x before rotation reuse even
+            # starts; the CDF-inversion volume is most of the
+            # raytraced+bokeh generation cost (PERF_NOTES r4/r5), and
+            # cross-ray sharing stays iid under position-based assignment
+            # (PARITY.md) — only the sharing factor changes (8 tiles per
+            # plane block at the 4M bench batch)
+            bp = min(b, max(1 << 16, b // 8))
             # plane uniforms come from the kernel's counter-hash, not
             # threefry: these are INTERNAL retry draws (the reference's
             # in-loop xor128 redraws, zoic.cpp:1932), and jax.random's

@@ -725,6 +725,39 @@ def _bound_pass(lx, ly, pcs, circles):
     return rho <= pc0 + pc1 * cphi + pc2 * t2 + pc4 * t4
 
 
+def _bound_dead(pcs, circles):
+    """Whether the per-ray pre-check bound provably rejects the ENTIRE
+    candidate domain (the dead-key short-circuit, r5).
+
+    A ray on fully-vignetted film (fisheye edge, telephoto cat-eye cutoff:
+    the reference burns all 26 retries tracing there, zoic.cpp:1927-1947)
+    has a reject-all fitted bound (pupil.build_precheck emits ``q = -1`` /
+    ``c0 = -1`` at keys with no accepted cover sample).  When the
+    INTERPOLATED per-ray bound rejects every candidate, each of the ray's
+    draws would be pre-check-rejected individually — so the whole budget
+    can be consumed in O(1), skipping the scan.  Pure strength reduction:
+    outputs (tries = budget, ok = 0, tir = 0, payload untouched) are
+    bit-identical to running the scan, and per-ray PRNG counters mean no
+    other ray's stream shifts.
+
+    Candidates live in the unit disk (concentric map) or [-1, 1]^2 (bokeh
+    offsets); both contain the x-axis segment ly = 0, |lx| <= 1, where the
+    circle test's LHS attains its domain minimum, so one formula is sound
+    for both domains.  Harmonic: all-reject iff max_phi B(phi) < 0,
+    conservatively bounded by c0 + |c1| + |c2| + |c4| (rho >= 0 always).
+    """
+    if circles:
+        a1d, q1, a2d, q2 = pcs  # centers pre-doubled (_shaping_from_table)
+        def mn(a):
+            # min over the domain of (lx^2 + ly^2 - a*lx): ly = 0,
+            # lx = clamp(a/2, -1, 1) -> -a^2/4 inside, 1 - |a| outside
+            aa = jnp.abs(a)
+            return jnp.where(aa <= 2.0, -0.25 * a * a, 1.0 - aa)
+        return (mn(a1d) > q1) | (mn(a2d) > q2)
+    pc0, pc1, pc2, pc4 = pcs
+    return (pc0 + jnp.abs(pc1) + jnp.abs(pc2) + jnp.abs(pc4)) < 0.0
+
+
 def _round_core(
     attempt, seed, max_total, use_profile,
     ids, pcs, ox, oy, oz, dx, dy, dz, ok_i, tries, tir_count,
@@ -1077,6 +1110,18 @@ def _raytraced_kernel(
         # Presampled (bokeh) mode feeds the scan from the streamed offset
         # planes (draw indices 0..r0_draws-1) under the square-domain
         # profile.
+        # dead-key short-circuit: rays whose interpolated bound rejects
+        # the whole candidate domain consume their full budget here in
+        # O(1) — bit-identical to scanning (every draw would be rejected),
+        # and they never enter the era machine, so the straggler pyramid
+        # only ever sees live rays (_bound_dead; the r4 whole-budget
+        # round-0 scan this replaces cost ~26 draw chains for EVERY ray
+        # and left live-heavy lenses' stragglers to a pyramid tuned for
+        # ~2% pending — fisheye measured 103M under it, PERF_NOTES r5)
+        tries = jnp.where(
+            _bound_dead(pcs, circles) & (tries < max_total),
+            max_total, tries,
+        )
         z = jnp.zeros_like(fx)
         zi = jnp.zeros_like(tries)
         (ox, oy, oz, dx, dy, dz, ok_i, tries, tir_count) = _round_core(
@@ -1870,7 +1915,13 @@ def raytraced_fused(
     ] + [jax.ShapeDtypeStruct((total_rows, LANES), jnp.int32)]
 
     if dead_heavy is None:
-        dead_heavy = lens.dead_frac >= 0.3
+        # with the profile pre-check active, fully-dead rays are consumed
+        # by the round-0 dead-key short-circuit (_bound_dead) in O(1), so
+        # the era machine sees only live stragglers and the normal pyramid
+        # is the right schedule regardless of dead_frac; the bulk
+        # budget-burn regime only pays when dead rays must actually
+        # TRACE their budget out (no pre-check)
+        dead_heavy = lens.dead_frac >= 0.3 and not use_profile
     # Whole-budget round 0 (r4): on dead-heavy lenses most rays burn the
     # full try budget through pre-check rejections (dead film keys), so
     # round 0's full-tile, throughput-bound scan covers max_total draws in
@@ -1891,7 +1942,9 @@ def raytraced_fused(
         # whole-budget round 0 those rounds are gone — every post-r0
         # round is latency-bound mop-up where the shallow chain wins
         # (K=13: 63.9 vs K=4: 99.6M on the telephoto class, r3).
-        if r0_burn:
+        if r0_burn or not dead_heavy:
+            # with the dead-key short-circuit the pyramid sees only live
+            # stragglers whatever dead_frac says — shallow chain wins
             precheck_draws = PRECHECK_DRAWS
         else:
             precheck_draws = 13 if lens.dead_frac >= 0.6 else PRECHECK_DRAWS

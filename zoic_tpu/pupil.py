@@ -750,6 +750,23 @@ def build_precheck(
         excess = np.maximum((rho_max.T - fit).max(0), 0.0)
         hc0 = (coef[0] + excess + 0.005) * 1.01
         hc1, hc2, hc4 = coef[1] * 1.01, coef[2] * 1.01, coef[3] * 1.01
+        # reject-all bound at keys with NO accepted cover sample: any bound
+        # over an empty support is sound, and a provably-all-rejecting one
+        # (max_phi B < 0) lets the kernel's dead-key short-circuit burn the
+        # whole retry budget in O(1) instead of scanning 26 draws (the
+        # circle form's (a=0, q=-1) analog, _fit_circles_np).  Set BEFORE
+        # the held-out/midpoint violation passes so the lerped chain near
+        # live/dead boundaries is validated against the final values.
+        # -0.05 (not a deep negative): intervals with BOTH keys dead give
+        # max_phi B = -0.05 < 0 either way (those dominate dead film
+        # area), while the lerp across a live->dead transition interval
+        # stays shallow — the bound between the validated key/midpoint
+        # radii moves as little as possible from the old +0.005 fit.
+        emp = ~okn.any(1)
+        hc0 = np.where(emp, -0.05, hc0)
+        hc1 = np.where(emp, 0.0, hc1)
+        hc2 = np.where(emp, 0.0, hc2)
+        hc4 = np.where(emp, 0.0, hc4)
     else:
         # naive cover: support rotates with film azimuth (no R(theta) in
         # the cover) — emit the rotation-invariant circumradius bound
